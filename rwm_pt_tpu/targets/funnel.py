@@ -1,0 +1,171 @@
+"""Funnel targets.
+
+Re-implements (TPU-native, pure JAX):
+  * ``NealFunnelTorch``  (/root/reference/target_distributions/funnel_torch.py:6-109)
+  * ``SuperFunnelTorch`` (/root/reference/target_distributions/funnel_torch.py:112-348)
+
+SuperFunnel is the only data-conditioned target.  The reference stores the
+design matrices as a Python list of per-group tensors and loops over groups
+(funnel_torch.py:219-231); here groups are a leading array axis and the whole
+likelihood is one einsum, so it maps onto a single MXU contraction with chains
+on the minor axis.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .base import TargetMixin
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+@struct.dataclass
+class NealFunnel(TargetMixin):
+    """v ~ N(mu_v, sigma_v^2), z_k ~ N(mu_z, e^v) (reference :7-16).
+
+    log p(x) = -0.5 log 2pi - 0.5 log sigma_v^2 - 0.5 (v-mu_v)^2/sigma_v^2
+               - 0.5 (D-1) log 2pi - 0.5 (D-1) v - 0.5 e^{-v} sum (z_k-mu_z)^2
+    No tractable direct sampler (reference raises, :89).
+    """
+
+    dim: int = struct.field(pytree_node=False)
+    mu_v: jax.Array
+    sigma_v_sq: jax.Array
+    mu_z: jax.Array
+    name: str = struct.field(pytree_node=False, default="NealFunnel")
+
+    @classmethod
+    def create(cls, dim: int, mu_v: float = 0.0, sigma_v_sq: float = 9.0,
+               mu_z: float = 0.0) -> "NealFunnel":
+        if dim < 1:
+            raise ValueError("dim must be at least 1 for Neal's Funnel.")
+        if sigma_v_sq <= 0:
+            raise ValueError("sigma_v_sq must be positive.")
+        return cls(dim=dim, mu_v=jnp.asarray(mu_v, jnp.float32),
+                   sigma_v_sq=jnp.asarray(sigma_v_sq, jnp.float32),
+                   mu_z=jnp.asarray(mu_z, jnp.float32))
+
+    def log_density_td(self, x):
+        v = x[0]
+        log_prior_v = (-0.5 * _LOG_2PI - 0.5 * jnp.log(self.sigma_v_sq)
+                       - 0.5 * (v - self.mu_v) ** 2 / self.sigma_v_sq)
+        if self.dim == 1:
+            return log_prior_v
+        zs = x[1:]
+        sum_sq = jnp.sum((zs - self.mu_z) ** 2, axis=0)
+        d1 = self.dim - 1
+        log_lik = (-0.5 * d1 * _LOG_2PI - 0.5 * d1 * v
+                   - 0.5 * jnp.exp(-v) * sum_sq)
+        return log_prior_v + log_lik
+
+    def get_name(self) -> str:
+        # parity with reference naming: funnel_torch.py:81-82
+        return f"{self.name}_D{self.dim}"
+
+
+@struct.dataclass
+class SuperFunnel(TargetMixin):
+    """Hierarchical logistic-regression posterior (reference :112-127).
+
+    State vector Theta = (alphas (J), betas (J*K), mu_alpha, mu_beta (K),
+    tau_alpha, tau_beta); dim = J + J*K + 1 + K + 2 (:133-135).
+    Priors: alpha_j ~ N(mu_alpha, tau_alpha^2); beta_jk ~ N(mu_beta_k, tau_beta^2);
+    hypermeans ~ N(0, prior_hypermean_std^2); taus ~ HalfCauchy(prior_tau_scale).
+    No direct sampler (reference raises, :310).
+    """
+
+    dim: int = struct.field(pytree_node=False)
+    J: int = struct.field(pytree_node=False)
+    K: int = struct.field(pytree_node=False)
+    X: jax.Array  # (J, n, K)
+    Y: jax.Array  # (J, n)
+    prior_hypermean_std: jax.Array
+    prior_tau_scale: jax.Array
+    name: str = struct.field(pytree_node=False, default="SuperFunnel")
+
+    @classmethod
+    def create(cls, J: int, K: int, X_data, Y_data,
+               prior_hypermean_std: float = 10.0,
+               prior_tau_scale: float = 2.5) -> "SuperFunnel":
+        X = jnp.asarray(X_data, jnp.float32)
+        Y = jnp.asarray(Y_data, jnp.float32)
+        if X.ndim != 3 or X.shape[0] != J or X.shape[2] != K:
+            raise ValueError(f"X_data must have shape (J={J}, n, K={K}), got {X.shape}")
+        if Y.shape != X.shape[:2]:
+            raise ValueError(f"Y_data must have shape {X.shape[:2]}, got {Y.shape}")
+        dim = J + J * K + 1 + K + 1 + 1
+        return cls(dim=dim, J=J, K=K, X=X, Y=Y,
+                   prior_hypermean_std=jnp.asarray(prior_hypermean_std, jnp.float32),
+                   prior_tau_scale=jnp.asarray(prior_tau_scale, jnp.float32))
+
+    @classmethod
+    def create_synthetic(cls, J: int = 5, K: int = 3, n_per_group: int = 20,
+                         prior_hypermean_std: float = 10.0,
+                         prior_tau_scale: float = 2.5,
+                         seed: int = 42) -> "SuperFunnel":
+        """Synthetic data generation mirroring the experiment scripts
+        (/root/reference/experiment_RWM_GPU.py:103-121): X ~ N(0,1), outcomes
+        from logit(p) = 0.5 sum_k X_k."""
+        kx, ky = jax.random.split(jax.random.key(seed))
+        X = jax.random.normal(kx, (J, n_per_group, K))
+        logits = 0.5 * jnp.sum(X, axis=-1)
+        Y = jax.random.bernoulli(ky, jax.nn.sigmoid(logits)).astype(jnp.float32)
+        return cls.create(J, K, X, Y, prior_hypermean_std, prior_tau_scale)
+
+    def _parse_theta(self, x):
+        """Split the dim-leading state (reference _parse_theta, :169-191)."""
+        J, K = self.J, self.K
+        i = 0
+        alphas = x[i:i + J]; i += J                       # (J, *B)
+        betas = x[i:i + J * K].reshape((J, K) + x.shape[1:]); i += J * K
+        mu_alpha = x[i]; i += 1                           # (*B,)
+        mu_beta = x[i:i + K]; i += K                      # (K, *B)
+        tau_alpha = x[i]; i += 1
+        tau_beta = x[i]
+        return alphas, betas, mu_alpha, mu_beta, tau_alpha, tau_beta
+
+    def log_density_td(self, x):
+        alphas, betas, mu_alpha, mu_beta, tau_alpha, tau_beta = self._parse_theta(x)
+        J, K = self.J, self.K
+        valid = (tau_alpha > 1e-9) & (tau_beta > 1e-9)    # (*B,) (reference :209)
+        safe_ta = jnp.where(valid, tau_alpha, 1.0)
+        safe_tb = jnp.where(valid, tau_beta, 1.0)
+
+        # Likelihood: eta_{j,n} = alpha_j + sum_k X_{j,n,k} beta_{j,k}  (:219-231)
+        eta = alphas[:, None] + jnp.einsum('jnk,jk...->jn...', self.X, betas)
+        Y = self.Y.reshape(self.Y.shape + (1,) * (x.ndim - 1))
+        ll = jnp.sum(Y * jax.nn.log_sigmoid(eta)
+                     + (1 - Y) * jax.nn.log_sigmoid(-eta), axis=(0, 1))
+
+        # Prior alphas: N(mu_alpha, tau_alpha^2)  (:240-244)
+        da = alphas - mu_alpha[None]
+        lp_alpha = (-0.5 * J * _LOG_2PI - J * jnp.log(safe_ta)
+                    - 0.5 * jnp.sum(da * da, axis=0) / safe_ta ** 2)
+
+        # Prior betas: N(mu_beta_k, tau_beta^2)  (:255-262)
+        db = betas - mu_beta[None]
+        lp_beta = (-0.5 * J * K * _LOG_2PI - J * K * jnp.log(safe_tb)
+                   - 0.5 * jnp.sum(db * db, axis=(0, 1)) / safe_tb ** 2)
+
+        # Hypermean priors  (:265-275)
+        hv = self.prior_hypermean_std ** 2
+        lp_mu_a = -0.5 * _LOG_2PI - 0.5 * jnp.log(hv) - 0.5 * mu_alpha ** 2 / hv
+        lp_mu_b = (-0.5 * K * _LOG_2PI - 0.5 * K * jnp.log(hv)
+                   - 0.5 * jnp.sum(mu_beta * mu_beta, axis=0) / hv)
+
+        # HalfCauchy tau priors: log 2 - log pi - log s - log1p((tau/s)^2)  (:277-287)
+        s = self.prior_tau_scale
+        lc = math.log(2.0) - math.log(math.pi) - jnp.log(s)
+        lp_tau = (lc - jnp.log1p((safe_ta / s) ** 2)
+                  + lc - jnp.log1p((safe_tb / s) ** 2))
+
+        total = ll + lp_alpha + lp_beta + lp_mu_a + lp_mu_b + lp_tau
+        return jnp.where(valid, total, -jnp.inf)
+
+    def get_name(self) -> str:
+        # parity with reference naming: funnel_torch.py:296-297
+        return f"{self.name}_J{self.J}_K{self.K}"

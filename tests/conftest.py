@@ -1,0 +1,27 @@
+"""Test configuration: run the suite on a virtual 8-device CPU mesh.
+
+This gives every test deterministic multi-device semantics without TPU
+hardware — the capability the reference never had (its whole multi-device
+story is a cuda->cpu fallback, e.g. tests/test_rwm_correctness.py:45).
+"""
+import os
+
+# Must be set before jax is imported anywhere.  Assign unconditionally: the
+# environment may pre-set JAX_PLATFORMS to a hardware plugin (e.g. a tunneled
+# TPU) whose host<->device transfers are far too slow for a test suite.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def key():
+    return jax.random.key(0)

@@ -1,0 +1,166 @@
+"""Parallel Tempering correctness tests.
+
+Mirrors the reference PT suites (/root/reference/tests/test_pt_gpu.py:17-94,
+tests/test_pt_gpu_optimizations.py:60-97, tests/test_pt_gpu_advanced.py):
+moment recovery on MVN, swap-acceptance sanity, multimodal mixing advantage
+over plain RWM, ladder configuration behavior, and accounting checks.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwm_pt_tpu.kernels import run_pt, run_rwm
+from rwm_pt_tpu.ladders import (construct_geometric_ladder,
+                                construct_iterative_ladder)
+from rwm_pt_tpu.proposals import NormalProposal
+from rwm_pt_tpu.targets import MultivariateNormal, ThreeMixture
+
+
+def test_geometric_ladder_values():
+    """c=0.5 down to 1e-2 then append (pt_rwm_gpu_optimized.py:245-257)."""
+    ladder = construct_geometric_ladder()
+    expected = [1.0, 0.5, 0.25, 0.125, 0.0625, 0.03125, 0.015625, 0.01]
+    np.testing.assert_allclose(ladder, expected)
+
+
+def test_pt_mvn_moments(key):
+    """PT on 8-d MVN: mean err < 0.15, cov diag err < 0.5
+    (test_pt_gpu_optimizations.py:60-97 tolerances)."""
+    dim = 8
+    tgt = MultivariateNormal.create(dim)
+    prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
+    betas = jnp.asarray(construct_geometric_ladder(), jnp.float32)
+    res = run_pt(tgt, prop, key, betas, num_chains=16, num_iterations=8000,
+                 burn_in=1000, swap_every=10, record_every=1, record_chains=16)
+    cold = np.asarray(res.chain)[1000:]                 # (n, d, C)
+    samples = cold.transpose(0, 2, 1).reshape(-1, dim)
+    assert np.abs(samples.mean(0)).max() < 0.15
+    assert np.abs(samples.var(0) - 1.0).max() < 0.5
+    assert float(res.swap_acceptance_rate.mean()) > 0.1
+
+
+def test_pt_esjd_accounting(key):
+    """beta-ESJD = sum of accepted (dbeta)^2 / attempts; attempts = (T-1) per
+    swap event post burn-in (pt_rwm_gpu_optimized.py:594-633)."""
+    tgt = MultivariateNormal.create(4)
+    prop = NormalProposal.create(4, 1.0)
+    betas = jnp.array([1.0, 0.5, 0.25, 0.125])
+    n, b, swap_every = 1000, 100, 10
+    res = run_pt(tgt, prop, key, betas, num_chains=4, num_iterations=n,
+                 burn_in=b, swap_every=swap_every)
+    # swap events: steps s in (b, b+n] with s % swap_every == 0
+    events = sum(1 for s in range(b + 1, b + n + 1) if s % swap_every == 0)
+    assert int(res.state.swap_attempt_count) == events * (len(betas) - 1)
+    # pt_esjd consistent with counters
+    attempts = float(res.state.swap_attempt_count)
+    np.testing.assert_allclose(
+        np.asarray(res.pt_esjd),
+        np.asarray(res.state.sum_beta_sq_jump) / attempts, rtol=1e-6)
+    # accepted swaps <= attempts
+    assert int(res.state.swap_accept_count.max()) <= events * (len(betas) - 1)
+
+
+def test_no_swaps_during_burn_in(key):
+    """Swaps only post-burn-in (pt_rwm_gpu_optimized.py:569-571)."""
+    tgt = MultivariateNormal.create(3)
+    prop = NormalProposal.create(3, 1.0)
+    betas = jnp.array([1.0, 0.5])
+    res = run_pt(tgt, prop, key, betas, num_chains=2, num_iterations=5,
+                 burn_in=100, swap_every=10)
+    # only steps 101..105 can host events; none are multiples of 10 => 0
+    assert int(res.state.swap_attempt_count) == 0
+
+
+def test_multimodal_mixing_beats_rwm(key):
+    """PT mixes the 3-mixture far better than plain RWM
+    (test_pt_gpu_advanced.py:21-123): PT visits multiple modes, RWM with a
+    small proposal stays stuck near one."""
+    dim = 2
+    tgt = ThreeMixture.create(dim)  # modes at first-coord -5, 0, +5
+    prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
+    betas = jnp.asarray(construct_geometric_ladder(), jnp.float32)
+    n = 6000
+    pt = run_pt(tgt, prop, key, betas, num_chains=8, num_iterations=n,
+                burn_in=500, swap_every=10, record_every=1, record_chains=8)
+    cold = np.asarray(pt.chain)[500:, 0, :]             # first coordinate
+    # mode occupancy: fraction of samples near each mode center
+    occ = [np.mean(np.abs(cold - c) < 2.0) for c in (-5.0, 0.0, 5.0)]
+    assert min(occ) > 0.03, f"PT failed to visit all modes: {occ}"
+
+    rwm = run_rwm(tgt, prop, key, num_chains=8, num_iterations=n,
+                  burn_in=500, record_every=1, record_chains=8)
+    cold_r = np.asarray(rwm.chain)[500:, 0, :]
+    # per-chain: PT cold chains should individually traverse modes more often
+    pt_span = np.mean(cold.max(0) - cold.min(0))
+    rwm_span = np.mean(cold_r.max(0) - cold_r.min(0))
+    assert pt_span > rwm_span * 0.9  # PT at least comparable, typically larger
+
+
+def test_swap_acceptance_decreases_with_coarser_ladder(key):
+    """Wider beta gaps => lower swap acceptance (ladder-config behavior,
+    test_pt_gpu_advanced.py:197-285)."""
+    dim = 10
+    tgt = MultivariateNormal.create(dim)
+    prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
+    fine = jnp.asarray([1.0, 0.8, 0.64, 0.512, 0.41, 0.328])
+    coarse = jnp.asarray([1.0, 0.25, 0.0625, 0.0156, 0.0039, 0.001])
+    r_fine = run_pt(tgt, prop, key, fine, num_chains=32, num_iterations=3000,
+                    burn_in=300, swap_every=10)
+    r_coarse = run_pt(tgt, prop, key, coarse, num_chains=32,
+                      num_iterations=3000, burn_in=300, swap_every=10)
+    assert (float(r_fine.swap_acceptance_rate.mean())
+            > float(r_coarse.swap_acceptance_rate.mean()))
+
+
+def test_iterative_ladder_mvn(key):
+    """Iterative construction on MVN yields a decreasing ladder from 1.0 to
+    beta_min with plausible length (pt_rwm_gpu_optimized.py:283-426)."""
+    tgt = MultivariateNormal.create(10)
+    ladder = construct_iterative_ladder(
+        tgt, target_swap_acceptance_rate=0.234, N_samples_swap_est=5000,
+        tolerance=0.01, seed=1)
+    arr = np.asarray(ladder)
+    assert arr[0] == 1.0
+    assert np.all(np.diff(arr) < 0)
+    assert abs(arr[-1] - 0.01) < 1e-6
+    assert 3 <= len(arr) <= 60
+    # achieved adjacent swap probability should be near target for interior rungs
+    from rwm_pt_tpu.ladders.ladders import _estimate_swap_prob
+    for b0, b1 in zip(arr[:-2], arr[1:-1]):
+        a = float(_estimate_swap_prob(tgt, key, jnp.float32(b0),
+                                      jnp.float32(b1), 20000))
+        assert abs(a - 0.234) < 0.05, (b0, b1, a)
+
+
+def test_iterative_ladder_requires_sampler():
+    from rwm_pt_tpu.targets import NealFunnel
+    with pytest.raises(NotImplementedError):
+        construct_iterative_ladder(NealFunnel.create(5))
+
+
+def test_cold_chain_includes_swap_jumps(key):
+    """Cold-chain ESJD accumulates across MH and swap moves combined
+    (pt_rwm_gpu_optimized.py:772-789 computes it from the stored cold chain,
+    which records post-swap states)."""
+    tgt = ThreeMixture.create(2)
+    prop = NormalProposal.create(2, 0.1)  # tiny MH moves
+    betas = jnp.asarray(construct_geometric_ladder(), jnp.float32)
+    res = run_pt(tgt, prop, key, betas, num_chains=16, num_iterations=4000,
+                 burn_in=200, swap_every=5)
+    res_noswap = run_pt(tgt, prop, key, betas, num_chains=16,
+                        num_iterations=4000, burn_in=200, swap_every=10 ** 9)
+    # swap moves between distant modes inflate x-space cold ESJD
+    assert (float(res.cold_esjd.mean())
+            > 2.0 * float(res_noswap.cold_esjd.mean()))
+
+
+def test_pt_determinism(key):
+    tgt = MultivariateNormal.create(3)
+    prop = NormalProposal.create(3, 1.0)
+    betas = jnp.array([1.0, 0.3, 0.1])
+    r1 = run_pt(tgt, prop, key, betas, num_chains=4, num_iterations=100,
+                burn_in=10, swap_every=5)
+    r2 = run_pt(tgt, prop, key, betas, num_chains=4, num_iterations=100,
+                burn_in=10, swap_every=5)
+    np.testing.assert_array_equal(np.asarray(r1.state.x), np.asarray(r2.state.x))
