@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Headline benchmark: PT-RWM on 30-d FullRosenbrock, 10-rung ladder.
+
+This is the BASELINE.json north-star configuration.  Metric: total MH
+proposal evaluations per second per chip in compiled steady state
+(iterations x temperature rungs x vectorized replicas / wall time).
+
+Baseline comparison: the reference's closest published figure is PT on a 30-d
+target — ThreeMixture d=30, 30 configs x 200k iters in 6681.5 s ≈ 898
+cold-chain iterations/s with a ~10-rung ladder ≈ 8.98e3 total MH steps/s
+(BASELINE.md; data/ThreeMixture_PT_GPU_dim30_200000iters_seed31.json).
+``vs_baseline`` = our MH steps/s / 8.98e3.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+"""
+import argparse
+import json
+import sys
+import time
+
+BASELINE_MH_STEPS_PER_SEC = 8.98e3
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--quick", action="store_true",
+                        help="small shapes for smoke-testing the harness")
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--chains", type=int, default=None)
+    parser.add_argument("--iters", type=int, default=None)
+    args = parser.parse_args()
+
+    import jax
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from rwm_pt_tpu.kernels import run_pt
+    from rwm_pt_tpu.proposals import NormalProposal
+    from rwm_pt_tpu.targets import FullRosenbrock
+
+    dim, T = 30, 10
+    if args.quick:
+        C = args.chains or 256
+        iters = args.iters or 200
+    else:
+        C = args.chains or 16384
+        iters = args.iters or 2000
+
+    target = FullRosenbrock.create(dim)
+    # scale 0.5 gives cold-chain acceptance ~0.34 and near-0.234 swap rates on
+    # this target (2.38^2/d assumes iid coordinates and over-shoots the
+    # Rosenbrock ridge curvature)
+    prop = NormalProposal.create(dim, 0.5 ** 2 / dim)
+    betas = jnp.geomspace(1.0, 0.01, T).astype(jnp.float32)
+    key = jax.random.key(0)
+
+    def one_run(k):
+        res = run_pt(target, prop, k, betas, num_chains=C,
+                     num_iterations=iters, burn_in=0, swap_every=100)
+        return jax.block_until_ready(res)
+
+    # compile + warm
+    t0 = time.time()
+    res = one_run(key)
+    compile_and_first = time.time() - t0
+    # steady state
+    t0 = time.time()
+    res = one_run(jax.random.fold_in(key, 1))
+    steady = time.time() - t0
+
+    total_mh_steps = iters * T * C
+    value = total_mh_steps / steady
+    swap_acc = float(res.swap_acceptance_rate.mean())
+    cold_esjd = float(res.cold_esjd.mean())
+
+    print(json.dumps({
+        "metric": "PT-RWM MH steps/s/chip (30-d FullRosenbrock, 10 rungs, "
+                  f"{C} replicas)",
+        "value": value,
+        "unit": "MH steps/s",
+        "vs_baseline": value / BASELINE_MH_STEPS_PER_SEC,
+    }))
+    print(f"# backend={jax.default_backend()} steady={steady:.3f}s "
+          f"first(incl compile)={compile_and_first:.3f}s "
+          f"swap_acc={swap_acc:.3f} cold_esjd={cold_esjd:.4f}",
+          file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

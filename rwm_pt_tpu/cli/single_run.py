@@ -1,0 +1,119 @@
+"""Single-configuration run with the full plot suite.
+
+TPU-native re-implementation of
+/root/reference/single_run_experiment.py:113-399: one RWM (or PT) run at a
+given proposal scale, saving trace plots, a 2-D density overlay, marginal
+histograms, and a summary JSON.
+"""
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+from .common import (add_run_args, add_target_args, build_proposal_config,
+                     configure_backend, resolve_actual_dim, save_json,
+                     target_kwargs_from_args)
+
+
+def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
+                          burn_in, proposal_name="Normal", algorithm="RWM",
+                          num_chains=8, swap_every=100, output_dir="data",
+                          images_dir="images", make_plots=True, **kwargs):
+    import jax
+    import jax.numpy as jnp
+    from ..api import MCMCSimulation
+    from ..targets import get_target_distribution
+
+    target = get_target_distribution(target_name, dim, **kwargs)
+    actual_dim = target.dim
+    cfg = build_proposal_config(proposal_name, scale_param, actual_dim)
+
+    sim = MCMCSimulation(dim=actual_dim, proposal_config=cfg,
+                         num_iterations=num_iters,
+                         algorithm=algorithm, target_dist=target, seed=seed,
+                         burn_in=burn_in, num_chains=num_chains,
+                         swap_every=swap_every,
+                         geom_temp_spacing=(algorithm.upper() == "PT"),
+                         record_chain=True)
+    t0 = time.time()
+    chain = sim.generate_samples()
+    elapsed = time.time() - t0
+
+    data = {
+        "target_distribution": target_name,
+        "proposal_distribution": proposal_name,
+        "algorithm": sim.algorithm_name,
+        "dimension": actual_dim,
+        "num_iterations": num_iters,
+        "scale_param": scale_param,
+        "seed": seed,
+        "total_time": elapsed,
+        "acceptance_rate": sim.acceptance_rate(),
+        "esjd": sim.expected_squared_jump_distance(),
+        "num_chains": num_chains,
+    }
+    if sim.is_pt:
+        data["pt_esjd"] = sim.pt_expected_squared_jump_distance()
+        data["beta_ladder"] = list(map(float, sim.beta_ladder))
+
+    filename = (f"{output_dir}/{target_name}_single_run_{sim.algorithm_name}_"
+                f"dim{actual_dim}_{num_iters}iters_seed{seed}.json")
+    save_json(data, filename)
+
+    if make_plots and chain is not None:
+        import os
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        os.makedirs(images_dir, exist_ok=True)
+        sim.traceplot(output_dir=images_dir)
+        sim.samples_histogram(output_dir=images_dir)
+        # marginal histograms for first <=4 dims (single_run_experiment.py
+        # marginal plot suite)
+        ndp = min(4, actual_dim)
+        fig, axes = plt.subplots(1, ndp, figsize=(4 * ndp, 4))
+        axes = np.atleast_1d(axes)
+        for i in range(ndp):
+            axes[i].hist(chain[:, i], bins=60, density=True, alpha=0.6)
+            axes[i].set_title(f"dim {i + 1}")
+        fig.suptitle(f"Marginals - {target_name} ({sim.algorithm_name})")
+        out = (f"{images_dir}/marginals_{target_name}_{sim.algorithm_name}_"
+               f"dim{actual_dim}_{num_iters}iters_seed{seed}.png")
+        fig.savefig(out, dpi=150, bbox_inches="tight")
+        plt.close(fig)
+        print(f"   Marginals saved as '{out}'")
+    print(f"acceptance_rate={data['acceptance_rate']:.4f} "
+          f"esjd={data['esjd']:.6f} time={elapsed:.2f}s")
+    return data
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="Single TPU MCMC run with plots")
+    add_target_args(parser)
+    add_run_args(parser, default_iters=100000)
+    parser.add_argument("--proposal", type=str, default="Normal",
+                        choices=["Normal", "Laplace", "UniformRadius"])
+    parser.add_argument("--scale_param", type=float, default=2.38)
+    parser.add_argument("--algorithm", type=str, default="RWM",
+                        choices=["RWM", "PT"])
+    parser.add_argument("--swap_every", type=int, default=100)
+    parser.add_argument("--no_plots", action="store_true")
+    args = parser.parse_args(argv)
+    configure_backend(args)
+
+    dim = resolve_actual_dim(args)
+    run_single_simulation(dim, args.target, args.num_iters, args.scale_param,
+                          args.seed, args.burn_in, args.proposal,
+                          args.algorithm, num_chains=args.num_chains,
+                          swap_every=args.swap_every,
+                          output_dir=args.output_dir,
+                          images_dir=args.images_dir,
+                          make_plots=not args.no_plots,
+                          **target_kwargs_from_args(args))
+
+
+if __name__ == "__main__":
+    main()

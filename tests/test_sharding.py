@@ -1,0 +1,102 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh.
+
+The reference has no in-process distribution at all (SURVEY.md §2.9); these
+tests validate the TPU-native scale-out story: chains sharded over the mesh
+(communication-free data parallelism) and the temperature axis sharded with
+swap exchanges lowering to collectives.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rwm_pt_tpu.kernels import pt_init, pt_step, run_pt, run_rwm
+from rwm_pt_tpu.parallel import (chain_sharding, make_mesh, pt_sharding,
+                                 shard_init_states)
+from rwm_pt_tpu.proposals import NormalProposal
+from rwm_pt_tpu.targets import MultivariateNormal
+
+
+@pytest.fixture(scope="module")
+def target():
+    return MultivariateNormal.create(4)
+
+
+def test_mesh_helpers():
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    mesh2 = make_mesh((4, 2), ("chains", "temps"))
+    assert mesh2.axis_names == ("chains", "temps")
+    with pytest.raises(ValueError):
+        make_mesh((3, 2), ("chains", "temps"))
+
+
+def test_rwm_chains_sharded_matches_unsharded(target, key):
+    """Sharding the chain axis must not change results (independent chains)."""
+    prop = NormalProposal.create(4, 0.5)
+    mesh = make_mesh()
+    x0 = target.init_sample(key, 64).T  # (d, C)
+    x0_sharded = shard_init_states(x0, mesh)
+    assert x0_sharded.sharding.spec == P(None, "chains")
+    r_plain = run_rwm(target, prop, key, num_chains=64, num_iterations=200,
+                      burn_in=20, init_states=x0)
+    r_shard = run_rwm(target, prop, key, num_chains=64, num_iterations=200,
+                      burn_in=20, init_states=x0_sharded)
+    np.testing.assert_allclose(np.asarray(r_plain.state.x),
+                               np.asarray(r_shard.state.x), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(r_plain.state.accept_count),
+                                  np.asarray(r_shard.state.accept_count))
+
+
+def test_pt_2d_mesh_step_with_temp_collectives(target, key):
+    """Full PT step on a (chains=4, temps=2) mesh: the swap phase crosses the
+    temps shard boundary (CollectivePermute) and must agree with the
+    single-device run bit-for-bit."""
+    prop = NormalProposal.create(4, 0.5)
+    betas = jnp.geomspace(1.0, 0.01, 8).astype(jnp.float32)
+    C = 32
+    state = pt_init(target, key, betas, C)
+
+    mesh = make_mesh((4, 2), ("chains", "temps"))
+    x_sh = NamedSharding(mesh, P(None, "temps", "chains"))
+    tc_sh = NamedSharding(mesh, P("temps", "chains"))
+    c_sh = NamedSharding(mesh, P("chains"))
+    rep = NamedSharding(mesh, P())
+    sharded = state.replace(
+        x=jax.device_put(state.x, x_sh),
+        logp=jax.device_put(state.logp, tc_sh),
+        accept_count=jax.device_put(state.accept_count, tc_sh),
+        swap_attempt_count=jax.device_put(state.swap_attempt_count, rep),
+        swap_accept_count=jax.device_put(state.swap_accept_count, c_sh),
+        sum_beta_sq_jump=jax.device_put(state.sum_beta_sq_jump, c_sh),
+        sum_sq_jump_cold=jax.device_put(state.sum_sq_jump_cold, c_sh),
+        step=jax.device_put(state.step, rep))
+
+    def step(st, k):
+        return pt_step(st, k, target, prop, betas, burn_in=0, swap_every=1)
+
+    out_plain = jax.jit(step)(state, key)
+    out_shard = jax.jit(step)(sharded, key)
+    np.testing.assert_allclose(np.asarray(out_plain.x),
+                               np.asarray(out_shard.x), rtol=1e-6)
+    np.testing.assert_array_equal(
+        np.asarray(out_plain.swap_accept_count),
+        np.asarray(out_shard.swap_accept_count))
+    assert int(out_shard.swap_attempt_count) == len(betas) - 1
+
+
+def test_sharding_spec_helpers():
+    mesh = make_mesh((4, 2), ("chains", "temps"))
+    assert pt_sharding(mesh, 3).spec == P(None, "temps", "chains")
+    assert chain_sharding(mesh, 2).spec == P(None, "chains")
+
+
+def test_graft_entry_and_dryrun():
+    """The driver entry points compile and execute."""
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    assert int(out.step) == 1
+    ge.dryrun_multichip(8)
+    ge.dryrun_multichip(4)
