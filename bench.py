@@ -40,26 +40,42 @@ def main():
     from rwm_pt_tpu.proposals import NormalProposal
     from rwm_pt_tpu.targets import FullRosenbrock
 
+    on_tpu = jax.default_backend() == "tpu"
     dim, T = 30, 10
     if args.quick:
         C = args.chains or 256
         iters = args.iters or 200
     else:
-        C = args.chains or 16384
+        C = args.chains or 65536
         iters = args.iters or 2000
 
     target = FullRosenbrock.create(dim)
     # scale 0.5 gives cold-chain acceptance ~0.34 and near-0.234 swap rates on
     # this target (2.38^2/d assumes iid coordinates and over-shoots the
     # Rosenbrock ridge curvature)
-    prop = NormalProposal.create(dim, 0.5 ** 2 / dim)
+    base_variance = 0.5 ** 2 / dim
+    prop = NormalProposal.create(dim, base_variance)
     betas = jnp.geomspace(1.0, 0.01, T).astype(jnp.float32)
     key = jax.random.key(0)
 
-    def one_run(k):
-        res = run_pt(target, prop, k, betas, num_chains=C,
-                     num_iterations=iters, burn_in=0, swap_every=100)
-        return jax.block_until_ready(res)
+    if on_tpu:
+        # Pallas engine: whole run on-chip in VMEM with the hardware PRNG
+        from rwm_pt_tpu.kernels.pallas_pt import run_pt_pallas
+
+        def one_run(k):
+            res = run_pt_pallas(target, k, betas, base_variance=base_variance,
+                                num_chains=C, num_iterations=iters, burn_in=0,
+                                swap_every=100)
+            # force full execution with a scalar fetch: block_until_ready
+            # alone does not reliably block on tunneled/remote platforms
+            jnp.sum(res.state.logp).item()
+            return res
+    else:
+        def one_run(k):
+            res = run_pt(target, prop, k, betas, num_chains=C,
+                         num_iterations=iters, burn_in=0, swap_every=100)
+            jnp.sum(res.state.logp).item()
+            return res
 
     # compile + warm
     t0 = time.time()

@@ -66,6 +66,7 @@ class MCMCSimulation:
                  record_every: Optional[int] = None,
                  use_mesh: bool = False,
                  target_kwargs: Optional[dict] = None,
+                 engine: str = "auto",
                  **kwargs):
         # proposal resolution: sigma back-compat path (simulation_gpu.py:58-66)
         if proposal_config is None and sigma is not None:
@@ -137,9 +138,29 @@ class MCMCSimulation:
         self.record_every = record_every
 
         self.mesh = make_mesh() if use_mesh else None
+        # engine selection: the Pallas VMEM-resident kernel is ~1.5x (RWM) to
+        # ~5x (PT) faster on TPU but supports only the Normal proposal and no
+        # trace recording; 'auto' picks it when eligible.
+        if engine not in ("auto", "pallas", "scan"):
+            raise ValueError("engine must be 'auto', 'pallas', or 'scan'")
+        self.engine = engine
         self._result = None
         self._chain_np = None
         self._elapsed = None
+
+    def _use_pallas(self) -> bool:
+        if self.engine == "scan":
+            return False
+        eligible = (self.proposal_config.get("name") == "Normal"
+                    and not self.record_chain and self.mesh is None
+                    and jax.default_backend() == "tpu")
+        if self.engine == "pallas":
+            if not eligible:
+                raise ValueError(
+                    "engine='pallas' requires the Normal proposal, "
+                    "record_chain=False, no mesh, and the TPU backend")
+            return True
+        return eligible
 
     # ------------------------------------------------------------------ run
     def has_run(self) -> bool:
@@ -174,7 +195,23 @@ class MCMCSimulation:
         start = time.time()
         rec = self.record_every if self.record_chain else None
         init_states = self._init_states()
-        if self.is_pt:
+        if self._use_pallas():
+            from ..kernels import run_pt_pallas, run_rwm_pallas
+            base_var = self.proposal_config["params"]["base_variance_scalar"]
+            if self.is_pt:
+                res = run_pt_pallas(
+                    self.target_dist, self.key,
+                    jnp.asarray(self.beta_ladder, jnp.float32),
+                    base_variance=base_var, num_chains=self.num_chains,
+                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    swap_every=self.swap_every, init_states=init_states)
+            else:
+                res = run_rwm_pallas(
+                    self.target_dist, self.key, base_variance=base_var,
+                    num_chains=self.num_chains,
+                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    init_states=init_states)
+        elif self.is_pt:
             res = run_pt(self.target_dist, self.proposal_dist, self.key,
                          jnp.asarray(self.beta_ladder, jnp.float32),
                          num_chains=self.num_chains,
@@ -302,8 +339,40 @@ class MCMCSimulation:
     def load_checkpoint(self, path: str):
         data = np.load(path, allow_pickle=False)
         meta = json.loads(str(data["meta"]))
-        arrays = [data[k] for k in data.files if k != "meta"]
+        keys = sorted((k for k in data.files if k != "meta"),
+                      key=lambda k: int(k.split("_")[1]))
+        arrays = [data[k] for k in keys]
         return arrays, meta
+
+    def restore_state(self, path: str):
+        """Rebuild the typed kernel state from a checkpoint file."""
+        from ..kernels import PTState, RWMState
+        arrays, meta = self.load_checkpoint(path)
+        arrays = [jnp.asarray(a) for a in arrays]
+        cls = PTState if "PT" in meta["algorithm"] else RWMState
+        return cls(*arrays), meta
+
+    def resume(self, path: str, num_iterations: Optional[int] = None):
+        """Continue a checkpointed run for ``num_iterations`` more steps
+        (mid-run persistence — absent from the reference, SURVEY.md §5)."""
+        from ..kernels import run_pt, run_rwm
+        state, meta = self.restore_state(path)
+        n = num_iterations or self.num_iterations
+        # a fresh fold of the key: the kernels derive per-step randomness from
+        # the absolute step counter, so the stream continues, not replays
+        key = jax.random.fold_in(self.key, int(state.step))
+        if self.is_pt:
+            res = run_pt(self.target_dist, self.proposal_dist, key,
+                         jnp.asarray(self.beta_ladder, jnp.float32),
+                         num_chains=self.num_chains, num_iterations=n,
+                         burn_in=self.burn_in, swap_every=self.swap_every,
+                         resume_state=state)
+        else:
+            res = run_rwm(self.target_dist, self.proposal_dist, key,
+                          num_chains=self.num_chains, num_iterations=n,
+                          burn_in=self.burn_in, resume_state=state)
+        self._result = jax.block_until_ready(res)
+        return self._result
 
     # ----------------------------------------------------------------- plots
     def _get_chain(self):

@@ -1,6 +1,9 @@
 """Fused sampler kernels (lax.scan + Pallas)."""
+from .pallas_pt import run_pt_pallas
+from .pallas_rwm import run_rwm_pallas
 from .pt import PTResult, PTState, pt_init, pt_step, run_pt
 from .rwm import RWMResult, RWMState, run_rwm, rwm_init, rwm_step
 
 __all__ = ["RWMState", "RWMResult", "rwm_init", "rwm_step", "run_rwm",
-           "PTState", "PTResult", "pt_init", "pt_step", "run_pt"]
+           "PTState", "PTResult", "pt_init", "pt_step", "run_pt",
+           "run_rwm_pallas", "run_pt_pallas"]

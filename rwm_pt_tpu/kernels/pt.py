@@ -146,19 +146,31 @@ def _swap_phase(state: PTState, key, betas) -> PTState:
 
 
 def pt_step(state: PTState, key, target, proposal, betas, burn_in,
-            swap_every) -> PTState:
-    """One full PT step: MH move for every rung, then (conditionally) a swap
-    event — the GPU reference's semantics where chains move *and then* swap
-    (pt_rwm_gpu_optimized.py:541-574), unlike the CPU path which skips moves
-    on swap steps (pt_rwm.py:169-184)."""
+            swap_every, cpu_semantics: bool = False) -> PTState:
+    """One full PT step.
+
+    GPU semantics (default): MH move for every rung, then (conditionally) a
+    swap event — chains move *and then* swap (pt_rwm_gpu_optimized.py:541-574).
+    CPU semantics (``cpu_semantics=True``): on swap steps chains attempt swaps
+    *instead of* MH moves, with no burn-in gate on swaps (pt_rwm.py:169-184).
+    The GPU semantics produced the paper's GPU data (SURVEY.md §3.3).
+    """
     k_mh, k_swap = jax.random.split(key)
     cold_before = state.x[:, 0, :]
-    state = _mh_phase(state, k_mh, target, proposal, betas, burn_in)
     step_counter = state.step + 1
-    should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
-    state = jax.lax.cond(should_swap,
-                         lambda s: _swap_phase(s, k_swap, betas),
-                         lambda s: s, state)
+    if cpu_semantics:
+        is_swap_step = step_counter % swap_every == 0
+        state = jax.lax.cond(
+            is_swap_step,
+            lambda s: _swap_phase(s, k_swap, betas),
+            lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in),
+            state)
+    else:
+        state = _mh_phase(state, k_mh, target, proposal, betas, burn_in)
+        should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
+        state = jax.lax.cond(should_swap,
+                             lambda s: _swap_phase(s, k_swap, betas),
+                             lambda s: s, state)
     post = step_counter > burn_in
     jump = jnp.sum(jnp.square(state.x[:, 0, :] - cold_before), axis=0)
     return state.replace(
@@ -169,12 +181,14 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
 @functools.partial(
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
-                     "record_every", "record_chains", "unroll"))
+                     "record_every", "record_chains", "unroll",
+                     "cpu_semantics"))
 def run_pt(target: Any, proposal: Any, key, betas, *,
            num_chains: int, num_iterations: int, burn_in: int = 0,
            swap_every: int = 100, init_states=None,
            record_every: Optional[int] = None, record_chains: int = 1,
-           unroll: int = 2) -> PTResult:
+           unroll: int = 2, cpu_semantics: bool = False,
+           resume_state=None) -> PTResult:
     """Run ``burn_in + num_iterations`` PT steps on ``num_chains`` replicas.
 
     ``swap_every`` defaults to 100 like the GPU reference
@@ -184,12 +198,17 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
     """
     betas = jnp.asarray(betas, jnp.float32)
     k_init, k_run = jax.random.split(jax.random.fold_in(key, 0x5054))
-    state = pt_init(target, k_init, betas, num_chains, init_states)
-    total = burn_in + num_iterations
+    if resume_state is not None:
+        state = resume_state
+        total = num_iterations
+    else:
+        state = pt_init(target, k_init, betas, num_chains, init_states)
+        total = burn_in + num_iterations
 
     def one_step(st, t):
-        return pt_step(st, jax.random.fold_in(k_run, t), target, proposal,
-                       betas, burn_in, swap_every)
+        # key by absolute step counter (resume-safe)
+        return pt_step(st, jax.random.fold_in(k_run, st.step), target,
+                       proposal, betas, burn_in, swap_every, cpu_semantics)
 
     chain = None
     if record_every:
@@ -212,7 +231,7 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
         state = jax.lax.fori_loop(0, total, lambda t, s: one_step(s, t),
                                   state, unroll=unroll)
 
-    n = jnp.float32(num_iterations)
+    n = jnp.maximum(state.step - burn_in, 1).astype(jnp.float32)
     attempts = jnp.maximum(state.swap_attempt_count, 1).astype(jnp.float32)
     return PTResult(
         state=state,

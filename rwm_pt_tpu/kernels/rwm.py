@@ -100,7 +100,7 @@ def rwm_step(state: RWMState, key, target, proposal, beta, burn_in) -> RWMState:
     donate_argnames=())
 def run_rwm(target: Any, proposal: Any, key, *,
             num_chains: int, num_iterations: int, burn_in: int = 0,
-            beta: float = 1.0, init_states=None,
+            beta: float = 1.0, init_states=None, resume_state=None,
             record_every: Optional[int] = None, record_chains: int = 1,
             unroll: int = 4) -> RWMResult:
     """Run ``burn_in + num_iterations`` fused MH steps on ``num_chains`` chains.
@@ -110,15 +110,26 @@ def run_rwm(target: Any, proposal: Any, key, *,
     (rwm_gpu_optimized.py:327-334, :513-534).  When ``record_every`` is set,
     a thinned trace of the first ``record_chains`` chains is collected via a
     nested scan (states after every ``record_every``-th step).
+
+    ``resume_state``: a previously returned :class:`RWMState` to continue
+    from (checkpoint/resume — a capability the reference lacks, SURVEY.md §5);
+    steps continue counting from ``state.step`` so burn-in gating stays
+    consistent, and another ``num_iterations`` steps are run.
     """
     beta = jnp.asarray(beta, jnp.float32)
     k_init, k_run = jax.random.split(jax.random.fold_in(key, 0x52574d))
-    state = rwm_init(target, k_init, num_chains, init_states)
-    total = burn_in + num_iterations
+    if resume_state is not None:
+        state = resume_state
+        total = num_iterations
+    else:
+        state = rwm_init(target, k_init, num_chains, init_states)
+        total = burn_in + num_iterations
 
     def one_step(st, t):
-        return rwm_step(st, jax.random.fold_in(k_run, t), target, proposal,
-                        beta, burn_in)
+        # key derived from the absolute step counter so resumed runs draw
+        # fresh randomness instead of replaying the first segment's stream
+        return rwm_step(st, jax.random.fold_in(k_run, st.step), target,
+                        proposal, beta, burn_in)
 
     chain = None
     if record_every:
@@ -141,7 +152,9 @@ def run_rwm(target: Any, proposal: Any, key, *,
         state = jax.lax.fori_loop(0, total, lambda t, s: one_step(s, t),
                                   state, unroll=unroll)
 
-    n = jnp.float32(num_iterations)
+    # normalize by the cumulative post-burn-in step count (equals
+    # num_iterations for fresh runs; stays correct across resumed segments)
+    n = jnp.maximum(state.step - burn_in, 1).astype(jnp.float32)
     return RWMResult(state=state,
                      acceptance_rate=state.accept_count / n,
                      esjd=state.sum_sq_jump / n,

@@ -1,0 +1,65 @@
+"""Pallas kernel tests.
+
+The hardware PRNG (`pltpu.prng_random_bits`) returns zeros under the CPU
+interpreter in this jaxlib, so statistical checks only run on real TPU
+hardware (see scripts/bench_pallas*.py, exercised by the driver's bench).
+On CPU we still validate the host-side plumbing: block capping and layout
+handling.
+"""
+import jax
+import pytest
+
+ON_TPU = jax.default_backend() == "tpu"
+
+
+def test_block_capping_logic():
+    """VMEM-driven block caps stay multiples of 128 and divide num_chains."""
+    import numpy as np
+    for dim in (2, 30, 100):
+        cap = max(128, int(14e6 / (44 * dim)) // 128 * 128)
+        assert cap % 128 == 0 or cap == 128
+        for C in (256, 4096, 65536):
+            block = min(8192, cap)
+            if C % block:
+                block = int(np.gcd(C, block)) or C
+            assert C % block == 0
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a real TPU")
+def test_pallas_rwm_matches_scan_statistics(key):
+    import jax.numpy as jnp
+
+    from rwm_pt_tpu.kernels import run_rwm, run_rwm_pallas
+    from rwm_pt_tpu.proposals import NormalProposal
+    from rwm_pt_tpu.targets import MultivariateNormal
+    tgt = MultivariateNormal.create(10)
+    var = 2.38 ** 2 / 10
+    res = run_rwm_pallas(tgt, key, base_variance=var, num_chains=2048,
+                         num_iterations=2000, burn_in=200)
+    ref = run_rwm(tgt, NormalProposal.create(10, var), key, num_chains=2048,
+                  num_iterations=2000, burn_in=200)
+    assert abs(float(res.acceptance_rate.mean())
+               - float(ref.acceptance_rate.mean())) < 0.02
+    assert abs(float(res.esjd.mean()) - float(ref.esjd.mean())) < 0.1
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a real TPU")
+def test_pallas_pt_matches_scan_statistics(key):
+    import jax.numpy as jnp
+
+    from rwm_pt_tpu.kernels import run_pt, run_pt_pallas
+    from rwm_pt_tpu.proposals import NormalProposal
+    from rwm_pt_tpu.targets import FullRosenbrock
+    tgt = FullRosenbrock.create(30)
+    var = 0.5 ** 2 / 30
+    betas = jnp.geomspace(1.0, 0.01, 10).astype(jnp.float32)
+    res = run_pt_pallas(tgt, key, betas, base_variance=var, num_chains=2048,
+                        num_iterations=2000, burn_in=200, swap_every=10)
+    ref = run_pt(tgt, NormalProposal.create(30, var), key, betas,
+                 num_chains=2048, num_iterations=2000, burn_in=200,
+                 swap_every=10)
+    assert abs(float(res.swap_acceptance_rate.mean())
+               - float(ref.swap_acceptance_rate.mean())) < 0.03
+    assert abs(float(res.pt_esjd.mean()) - float(ref.pt_esjd.mean())) < 0.002
+    assert abs(float(res.cold_esjd.mean())
+               - float(ref.cold_esjd.mean())) < 0.15 * float(ref.cold_esjd.mean()) + 0.01
