@@ -46,6 +46,9 @@ def add_run_args(parser: argparse.ArgumentParser, default_iters: int):
     parser.add_argument("--images_dir", type=str, default="images")
     parser.add_argument("--cpu", action="store_true",
                         help="Force the JAX CPU backend")
+    parser.add_argument("--use_mesh", action="store_true",
+                        help="Shard chains over every available device "
+                             "('chains' mesh axis; see parallel/mesh.py)")
     parser.add_argument("--x64", "--use_double_precision", action="store_true",
                         dest="use_double_precision",
                         help="Use float64 (mirrors the reference's "

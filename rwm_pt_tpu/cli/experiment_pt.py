@@ -24,7 +24,7 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
               iterative_max_pn_steps=500, iterative_fail_tol_factor=1.5,
               use_double_precision=False, num_chains=64, num_configs=30,
               swap_every=100, geom_ladder=False, output_dir="data",
-              images_dir="images", make_plots=True, **kwargs):
+              images_dir="images", make_plots=True, use_mesh=False, **kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -62,10 +62,19 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
                 max_pn_adjustment_steps=iterative_max_pn_steps,
                 convergence_failure_tolerance_factor=iterative_fail_tol_factor,
                 seed=seed + i)
+        init = None
+        if use_mesh:
+            from ..parallel import make_mesh, shard_init_states
+            mesh = make_mesh()
+            x0 = target.init_sample(jax.random.fold_in(key, 0xC0),
+                                    num_chains).T
+            x0 = jnp.broadcast_to(x0[:, None, :],
+                                  (actual_dim, len(ladder), num_chains))
+            init = shard_init_states(x0.astype(jnp.float32), mesh, pt=True)
         res = run_pt(target, prop, jax.random.fold_in(key, i),
                      jnp.asarray(ladder, jnp.float32),
                      num_chains=num_chains, num_iterations=num_iters,
-                     burn_in=burn_in, swap_every=swap_every)
+                     burn_in=burn_in, swap_every=swap_every, init_states=init)
         res = jax.block_until_ready(res)
         dt = time.time() - t0
         times.append(dt)
@@ -158,7 +167,7 @@ def main(argv=None):
               num_chains=args.num_chains, num_configs=args.num_configs,
               swap_every=args.swap_every, geom_ladder=args.geom_ladder,
               output_dir=args.output_dir, images_dir=args.images_dir,
-              **target_kwargs_from_args(args))
+              use_mesh=args.use_mesh, **target_kwargs_from_args(args))
     print("Finished running TPU-accelerated parallel tempering experiment.")
 
 

@@ -29,7 +29,7 @@ def run_study(dim, target_name="MultivariateNormal", num_iters=100000,
               var_max=3.5, seed=42, burn_in=1000, proposal_name="Normal",
               proposal_params=None, num_chains=64, num_configs=40,
               output_dir="data", images_dir="images", make_plots=True,
-              **kwargs):
+              use_mesh=False, **kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -52,6 +52,16 @@ def run_study(dim, target_name="MultivariateNormal", num_iters=100000,
     anisotropic = (proposal_params or {}).get("anisotropic")
     key = jax.random.key(seed)
 
+    init = None
+    if use_mesh:
+        # seed-parallelism in-mesh: chains sharded over every device
+        from ..parallel import make_mesh, shard_init_states
+        mesh = make_mesh()
+        x0 = target.init_sample(jax.random.fold_in(key, 0xC0), num_chains).T
+        init = shard_init_states(x0.astype(jnp.float32), mesh)
+        print(f"Mesh: {mesh} — {num_chains} chains sharded over "
+              f"{len(jax.devices())} devices")
+
     acceptance_rates, esjds, times = [], [], []
     total_start = time.time()
     for i, scale in enumerate(scale_param_range):
@@ -61,7 +71,7 @@ def run_study(dim, target_name="MultivariateNormal", num_iters=100000,
         t0 = time.time()
         res = run_rwm(target, prop, jax.random.fold_in(key, i),
                       num_chains=num_chains, num_iterations=num_iters,
-                      burn_in=burn_in)
+                      burn_in=burn_in, init_states=init)
         res = jax.block_until_ready(res)
         dt = time.time() - t0
         times.append(dt)
@@ -231,7 +241,8 @@ def main(argv=None):
               args.burn_in, args.proposal, proposal_params,
               num_chains=args.num_chains, num_configs=args.num_configs,
               output_dir=args.output_dir, images_dir=args.images_dir,
-              make_plots=not args.no_plots, **target_kwargs_from_args(args))
+              make_plots=not args.no_plots, use_mesh=args.use_mesh,
+              **target_kwargs_from_args(args))
     print(f"Finished running experiment with {args.proposal} proposal.")
 
 

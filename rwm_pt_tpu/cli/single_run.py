@@ -20,7 +20,8 @@ from .common import (add_run_args, add_target_args, build_proposal_config,
 def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                           burn_in, proposal_name="Normal", algorithm="RWM",
                           num_chains=8, swap_every=100, output_dir="data",
-                          images_dir="images", make_plots=True, **kwargs):
+                          images_dir="images", make_plots=True,
+                          use_mesh=False, **kwargs):
     import jax
     import jax.numpy as jnp
     from ..api import MCMCSimulation
@@ -36,7 +37,7 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                          burn_in=burn_in, num_chains=num_chains,
                          swap_every=swap_every,
                          geom_temp_spacing=(algorithm.upper() == "PT"),
-                         record_chain=True)
+                         record_chain=True, use_mesh=use_mesh)
     t0 = time.time()
     chain = sim.generate_samples()
     elapsed = time.time() - t0
@@ -112,6 +113,7 @@ def main(argv=None):
                           output_dir=args.output_dir,
                           images_dir=args.images_dir,
                           make_plots=not args.no_plots,
+                          use_mesh=args.use_mesh,
                           **target_kwargs_from_args(args))
 
 
