@@ -25,6 +25,7 @@ from ..parallel import make_mesh, shard_init_states
 from ..proposals import create_proposal_distribution
 from ..targets import get_target_distribution
 from ..targets.base import TargetMixin
+from ..utils.dtypes import default_float
 
 _RECORD_LIMIT = 2_000_000  # max recorded floats per run before auto-thinning
 
@@ -153,12 +154,14 @@ class MCMCSimulation:
             return False
         eligible = (self.proposal_config.get("name") == "Normal"
                     and not self.record_chain and self.mesh is None
-                    and jax.default_backend() == "tpu")
+                    and jax.default_backend() == "tpu"
+                    and not jax.config.jax_enable_x64)
         if self.engine == "pallas":
             if not eligible:
                 raise ValueError(
                     "engine='pallas' requires the Normal proposal, "
-                    "record_chain=False, no mesh, and the TPU backend")
+                    "record_chain=False, no mesh, the TPU backend, and "
+                    "float32 (x64 disabled)")
             return True
         return eligible
 
@@ -201,7 +204,7 @@ class MCMCSimulation:
             if self.is_pt:
                 res = run_pt_pallas(
                     self.target_dist, self.key,
-                    jnp.asarray(self.beta_ladder, jnp.float32),
+                    jnp.asarray(self.beta_ladder, default_float()),
                     base_variance=base_var, num_chains=self.num_chains,
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
                     swap_every=self.swap_every, init_states=init_states)
@@ -213,7 +216,7 @@ class MCMCSimulation:
                     init_states=init_states)
         elif self.is_pt:
             res = run_pt(self.target_dist, self.proposal_dist, self.key,
-                         jnp.asarray(self.beta_ladder, jnp.float32),
+                         jnp.asarray(self.beta_ladder, default_float()),
                          num_chains=self.num_chains,
                          num_iterations=self.num_iterations,
                          burn_in=self.burn_in, swap_every=self.swap_every,
@@ -363,7 +366,7 @@ class MCMCSimulation:
         key = jax.random.fold_in(self.key, int(state.step))
         if self.is_pt:
             res = run_pt(self.target_dist, self.proposal_dist, key,
-                         jnp.asarray(self.beta_ladder, jnp.float32),
+                         jnp.asarray(self.beta_ladder, default_float()),
                          num_chains=self.num_chains, num_iterations=n,
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          resume_state=state)

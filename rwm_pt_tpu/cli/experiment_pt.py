@@ -14,6 +14,7 @@ import time
 
 import numpy as np
 
+from ..utils.dtypes import default_float
 from .common import (add_run_args, add_target_args, configure_backend,
                      resolve_actual_dim, save_json, target_kwargs_from_args)
 
@@ -70,9 +71,9 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
                                     num_chains).T
             x0 = jnp.broadcast_to(x0[:, None, :],
                                   (actual_dim, len(ladder), num_chains))
-            init = shard_init_states(x0.astype(jnp.float32), mesh, pt=True)
+            init = shard_init_states(x0.astype(default_float()), mesh, pt=True)
         res = run_pt(target, prop, jax.random.fold_in(key, i),
-                     jnp.asarray(ladder, jnp.float32),
+                     jnp.asarray(ladder, default_float()),
                      num_chains=num_chains, num_iterations=num_iters,
                      burn_in=burn_in, swap_every=swap_every, init_states=init)
         res = jax.block_until_ready(res)

@@ -20,6 +20,7 @@ import time
 
 import numpy as np
 
+from ..utils.dtypes import default_float
 from .common import (add_run_args, add_target_args, build_proposal_config,
                      configure_backend, resolve_actual_dim, save_json,
                      target_kwargs_from_args)
@@ -58,7 +59,7 @@ def run_study(dim, target_name="MultivariateNormal", num_iters=100000,
         from ..parallel import make_mesh, shard_init_states
         mesh = make_mesh()
         x0 = target.init_sample(jax.random.fold_in(key, 0xC0), num_chains).T
-        init = shard_init_states(x0.astype(jnp.float32), mesh)
+        init = shard_init_states(x0.astype(default_float()), mesh)
         print(f"Mesh: {mesh} — {num_chains} chains sharded over "
               f"{len(jax.devices())} devices")
 

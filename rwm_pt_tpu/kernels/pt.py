@@ -34,6 +34,7 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 from flax import struct
+from ..utils.dtypes import default_float
 
 
 @struct.dataclass
@@ -73,8 +74,8 @@ def pt_init(target, key, betas, num_chains: int, init_states=None) -> PTState:
         accept_count=jnp.zeros((T, C), jnp.int32),
         swap_attempt_count=jnp.zeros((), jnp.int32),
         swap_accept_count=jnp.zeros(C, jnp.int32),
-        sum_beta_sq_jump=jnp.zeros(C, jnp.float32),
-        sum_sq_jump_cold=jnp.zeros(C, jnp.float32),
+        sum_beta_sq_jump=jnp.zeros(C, default_float()),
+        sum_sq_jump_cold=jnp.zeros(C, default_float()),
         step=jnp.zeros((), jnp.int32))
 
 
@@ -125,7 +126,7 @@ def _swap_half_sweep(x, lp, key, betas, parity):
     lp_dn = jnp.roll(lp, 1, axis=0)
     lp_new = jnp.where(swap_up, lp_up, jnp.where(swap_dn, lp_dn, lp))
 
-    n_acc = jnp.sum(acc, axis=0)                             # (C,)
+    n_acc = jnp.sum(acc, axis=0, dtype=jnp.int32)            # (C,)
     beta_sq = jnp.sum(acc * (dbeta ** 2)[:, None], axis=0)   # (C,)
     return x_new, lp_new, n_acc, beta_sq
 
@@ -196,7 +197,7 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
     swap acceptance = accepts / attempts, beta-ESJD = sum (dbeta^2) / attempts
     (:627-633), cold ESJD = mean post-burn-in squared jump (:772-789).
     """
-    betas = jnp.asarray(betas, jnp.float32)
+    betas = jnp.asarray(betas, default_float())
     k_init, k_run = jax.random.split(jax.random.fold_in(key, 0x5054))
     if resume_state is not None:
         state = resume_state
@@ -231,8 +232,8 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
         state = jax.lax.fori_loop(0, total, lambda t, s: one_step(s, t),
                                   state, unroll=unroll)
 
-    n = jnp.maximum(state.step - burn_in, 1).astype(jnp.float32)
-    attempts = jnp.maximum(state.swap_attempt_count, 1).astype(jnp.float32)
+    n = jnp.maximum(state.step - burn_in, 1).astype(default_float())
+    attempts = jnp.maximum(state.swap_attempt_count, 1).astype(default_float())
     return PTResult(
         state=state,
         swap_acceptance_rate=state.swap_accept_count / attempts,

@@ -28,6 +28,7 @@ from typing import Any, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 from flax import struct
+from ..utils.dtypes import default_float
 
 
 @struct.dataclass
@@ -60,7 +61,7 @@ def rwm_init(target, key, num_chains: int, init_states=None) -> RWMState:
     C = x0.shape[1]
     return RWMState(x=x0, logp=logp0,
                     accept_count=jnp.zeros(C, jnp.int32),
-                    sum_sq_jump=jnp.zeros(C, jnp.float32),
+                    sum_sq_jump=jnp.zeros(C, default_float()),
                     step=jnp.zeros((), jnp.int32))
 
 
@@ -116,7 +117,7 @@ def run_rwm(target: Any, proposal: Any, key, *,
     steps continue counting from ``state.step`` so burn-in gating stays
     consistent, and another ``num_iterations`` steps are run.
     """
-    beta = jnp.asarray(beta, jnp.float32)
+    beta = jnp.asarray(beta, default_float())
     k_init, k_run = jax.random.split(jax.random.fold_in(key, 0x52574d))
     if resume_state is not None:
         state = resume_state
@@ -154,7 +155,7 @@ def run_rwm(target: Any, proposal: Any, key, *,
 
     # normalize by the cumulative post-burn-in step count (equals
     # num_iterations for fresh runs; stays correct across resumed segments)
-    n = jnp.maximum(state.step - burn_in, 1).astype(jnp.float32)
+    n = jnp.maximum(state.step - burn_in, 1).astype(default_float())
     return RWMResult(state=state,
                      acceptance_rate=state.accept_count / n,
                      esjd=state.sum_sq_jump / n,

@@ -22,6 +22,7 @@ from typing import List
 import jax
 import jax.numpy as jnp
 import numpy as np
+from ..utils.dtypes import default_float
 
 
 def construct_geometric_ladder(beta_0: float = 1.0, beta_min: float = 1e-2,
@@ -106,7 +107,7 @@ def construct_iterative_ladder(target, *,
             probe += 1
             a_hat = float(_estimate_swap_prob(
                 target, jax.random.fold_in(key, probe),
-                jnp.float32(beta_curr), jnp.float32(beta_star),
+                jnp.asarray(beta_curr, default_float()), jnp.asarray(beta_star, default_float()),
                 N_samples_swap_est))
             last_a_hat = a_hat
             log(f"  probe beta*={beta_star:.6f} a_hat={a_hat:.4f}")

@@ -26,6 +26,7 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 from flax import struct
+from ..utils.dtypes import default_float
 
 
 def _expand(v: jax.Array, batch_ndim: int) -> jax.Array:
@@ -59,7 +60,7 @@ class NormalProposal(Proposal):
         if base_variance_scalar <= 0:
             raise ValueError("base_variance_scalar must be positive")
         return cls(dim=dim, base_variance_scalar=jnp.asarray(base_variance_scalar,
-                                                             jnp.float32))
+                                                             default_float()))
 
     def sample_td(self, key, betas, batch_shape):
         betas = jnp.atleast_1d(jnp.asarray(betas))[..., None] if False else jnp.asarray(betas)
@@ -83,7 +84,7 @@ class LaplaceProposal(Proposal):
 
     @classmethod
     def create(cls, dim: int, base_variance_vector) -> "LaplaceProposal":
-        v = jnp.asarray(base_variance_vector, jnp.float32)
+        v = jnp.asarray(base_variance_vector, default_float())
         if v.ndim == 0:
             v = jnp.full((dim,), v)
         if v.shape != (dim,):
@@ -120,7 +121,7 @@ class UniformRadiusProposal(Proposal):
     def create(cls, dim: int, base_radius: float) -> "UniformRadiusProposal":
         if base_radius <= 0:
             raise ValueError("base_radius must be positive")
-        return cls(dim=dim, base_radius=jnp.asarray(base_radius, jnp.float32))
+        return cls(dim=dim, base_radius=jnp.asarray(base_radius, default_float()))
 
     def sample_td(self, key, betas, batch_shape):
         betas = jnp.asarray(betas)

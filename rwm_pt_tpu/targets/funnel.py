@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .base import TargetMixin
+from ..utils.dtypes import default_float
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -45,9 +46,9 @@ class NealFunnel(TargetMixin):
             raise ValueError("dim must be at least 1 for Neal's Funnel.")
         if sigma_v_sq <= 0:
             raise ValueError("sigma_v_sq must be positive.")
-        return cls(dim=dim, mu_v=jnp.asarray(mu_v, jnp.float32),
-                   sigma_v_sq=jnp.asarray(sigma_v_sq, jnp.float32),
-                   mu_z=jnp.asarray(mu_z, jnp.float32))
+        return cls(dim=dim, mu_v=jnp.asarray(mu_v, default_float()),
+                   sigma_v_sq=jnp.asarray(sigma_v_sq, default_float()),
+                   mu_z=jnp.asarray(mu_z, default_float()))
 
     def log_density_td(self, x):
         v = x[0]
@@ -91,16 +92,16 @@ class SuperFunnel(TargetMixin):
     def create(cls, J: int, K: int, X_data, Y_data,
                prior_hypermean_std: float = 10.0,
                prior_tau_scale: float = 2.5) -> "SuperFunnel":
-        X = jnp.asarray(X_data, jnp.float32)
-        Y = jnp.asarray(Y_data, jnp.float32)
+        X = jnp.asarray(X_data, default_float())
+        Y = jnp.asarray(Y_data, default_float())
         if X.ndim != 3 or X.shape[0] != J or X.shape[2] != K:
             raise ValueError(f"X_data must have shape (J={J}, n, K={K}), got {X.shape}")
         if Y.shape != X.shape[:2]:
             raise ValueError(f"Y_data must have shape {X.shape[:2]}, got {Y.shape}")
         dim = J + J * K + 1 + K + 1 + 1
         return cls(dim=dim, J=J, K=K, X=X, Y=Y,
-                   prior_hypermean_std=jnp.asarray(prior_hypermean_std, jnp.float32),
-                   prior_tau_scale=jnp.asarray(prior_tau_scale, jnp.float32))
+                   prior_hypermean_std=jnp.asarray(prior_hypermean_std, default_float()),
+                   prior_tau_scale=jnp.asarray(prior_tau_scale, default_float()))
 
     @classmethod
     def create_synthetic(cls, J: int = 5, K: int = 3, n_per_group: int = 20,
@@ -113,7 +114,7 @@ class SuperFunnel(TargetMixin):
         kx, ky = jax.random.split(jax.random.key(seed))
         X = jax.random.normal(kx, (J, n_per_group, K))
         logits = 0.5 * jnp.sum(X, axis=-1)
-        Y = jax.random.bernoulli(ky, jax.nn.sigmoid(logits)).astype(jnp.float32)
+        Y = jax.random.bernoulli(ky, jax.nn.sigmoid(logits)).astype(default_float())
         return cls.create(J, K, X, Y, prior_hypermean_std, prior_tau_scale)
 
     def _parse_theta(self, x):

@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .base import TargetMixin, bdim
+from ..utils.dtypes import default_float
 
 _LOG_2PI = math.log(2.0 * math.pi)
 
@@ -37,8 +38,8 @@ class MultivariateNormal(TargetMixin):
     @classmethod
     def create(cls, dim: int, mean=None, cov=None) -> "MultivariateNormal":
         iso = cov is None
-        mean = jnp.zeros(dim) if mean is None else jnp.asarray(mean, jnp.float32)
-        cov = jnp.eye(dim) if cov is None else jnp.asarray(cov, jnp.float32)
+        mean = jnp.zeros(dim) if mean is None else jnp.asarray(mean, default_float())
+        cov = jnp.eye(dim) if cov is None else jnp.asarray(cov, default_float())
         cov_inv = jnp.linalg.inv(cov)
         chol = jnp.linalg.cholesky(cov)
         _, logdet = jnp.linalg.slogdet(cov)
@@ -84,7 +85,7 @@ class ScaledMultivariateNormal(TargetMixin):
             c = jax.random.uniform(jax.random.key(seed), (dim,),
                                    minval=lo, maxval=hi)
         else:
-            c = jnp.asarray(scaling_factors, jnp.float32)
+            c = jnp.asarray(scaling_factors, default_float())
         lnc = jnp.sum(jnp.log(c)) - 0.5 * dim * _LOG_2PI
         return cls(dim=dim, scaling_factors=c, log_norm_const=lnc)
 

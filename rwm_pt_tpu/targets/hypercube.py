@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .base import TargetMixin
+from ..utils.dtypes import default_float
 
 
 @struct.dataclass
@@ -25,8 +26,8 @@ class Hypercube(TargetMixin):
     @classmethod
     def create(cls, dim: int, left_boundary: float = 0.0,
                right_boundary: float = 1.0) -> "Hypercube":
-        l = jnp.asarray(left_boundary, jnp.float32)
-        r = jnp.asarray(right_boundary, jnp.float32)
+        l = jnp.asarray(left_boundary, default_float())
+        r = jnp.asarray(right_boundary, default_float())
         lud = -dim * jnp.log(r - l)
         return cls(dim=dim, left=l, right=r, log_uniform_density=lud)
 

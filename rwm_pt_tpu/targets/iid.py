@@ -16,6 +16,7 @@ from flax import struct
 from jax.scipy.special import gammaln
 
 from .base import TargetMixin
+from ..utils.dtypes import default_float
 
 
 @struct.dataclass
@@ -30,8 +31,8 @@ class IIDGamma(TargetMixin):
 
     @classmethod
     def create(cls, dim: int, shape: float = 2.0, scale: float = 3.0) -> "IIDGamma":
-        sh = jnp.asarray(shape, jnp.float32)
-        sc = jnp.asarray(scale, jnp.float32)
+        sh = jnp.asarray(shape, default_float())
+        sc = jnp.asarray(scale, default_float())
         # d * (lgamma(shape) + shape log scale)  (reference :28-34)
         lnc = dim * (gammaln(sh) + sh * jnp.log(sc))
         return cls(dim=dim, shape=sh, scale=sc, log_norm_const=lnc)
@@ -65,8 +66,8 @@ class IIDBeta(TargetMixin):
 
     @classmethod
     def create(cls, dim: int, alpha: float = 2.0, beta: float = 3.0) -> "IIDBeta":
-        a = jnp.asarray(alpha, jnp.float32)
-        b = jnp.asarray(beta, jnp.float32)
+        a = jnp.asarray(alpha, default_float())
+        b = jnp.asarray(beta, default_float())
         # d * (lgamma(a+b) - lgamma(a) - lgamma(b))  (reference :162-170)
         lnc = dim * (gammaln(a + b) - gammaln(a) - gammaln(b))
         return cls(dim=dim, alpha=a, beta=b, log_norm_const=lnc)

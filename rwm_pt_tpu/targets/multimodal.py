@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .base import TargetMixin, bdim
+from ..utils.dtypes import default_float
 
 _LOG_2PI = math.log(2.0 * math.pi)
 _LOG_SQRT_2PI = 0.5 * _LOG_2PI
@@ -59,10 +60,10 @@ class ThreeMixture(TargetMixin):
                             [5.0] + [0.0] * (dim - 1)]
         if mode_weights is None:
             mode_weights = [1 / 3, 1 / 3, 1 / 3]
-        means = jnp.asarray(mode_centers, jnp.float32)
+        means = jnp.asarray(mode_centers, default_float())
         if means.shape != (3, dim):
             raise ValueError(f"mode_centers must have shape (3, {dim}), got {means.shape}")
-        w = jnp.asarray(mode_weights, jnp.float32)
+        w = jnp.asarray(mode_weights, default_float())
         if w.shape != (3,):
             raise ValueError("mode_weights must contain exactly 3 weights")
         if abs(float(w.sum()) - 1.0) > 1e-5:
@@ -123,9 +124,9 @@ class RoughCarpet(TargetMixin):
                mode_weights=None, seed: int = 0) -> "RoughCarpet":
         default = mode_centers is None and mode_weights is None
         modes = jnp.asarray([-5.0, 0.0, 5.0] if mode_centers is None
-                            else mode_centers, jnp.float32)
+                            else mode_centers, default_float())
         w = jnp.asarray([0.5, 0.3, 0.2] if mode_weights is None
-                        else mode_weights, jnp.float32)
+                        else mode_weights, default_float())
         if modes.shape != (3,):
             raise ValueError("mode_centers must contain exactly 3 scalar modes")
         if w.shape != (3,):

@@ -14,6 +14,7 @@ import jax.numpy as jnp
 from flax import struct
 
 from .base import TargetMixin, bdim
+from ..utils.dtypes import default_float
 
 DEFAULT_A_COEFF = 1.0 / 20.0
 DEFAULT_B_COEFF = 100.0 / 20.0
@@ -37,9 +38,9 @@ class FullRosenbrock(TargetMixin):
                b_coeff: float = DEFAULT_B_COEFF, mu=DEFAULT_MU) -> "FullRosenbrock":
         if dim < 2:
             raise ValueError("Dimension for FullRosenbrock must be at least 2.")
-        mu_arr = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), (dim - 1,))
-        return cls(dim=dim, a_coeff=jnp.asarray(a_coeff, jnp.float32),
-                   b_coeff=jnp.asarray(b_coeff, jnp.float32), mu=mu_arr)
+        mu_arr = jnp.broadcast_to(jnp.asarray(mu, default_float()), (dim - 1,))
+        return cls(dim=dim, a_coeff=jnp.asarray(a_coeff, default_float()),
+                   b_coeff=jnp.asarray(b_coeff, default_float()), mu=mu_arr)
 
     def log_density_td(self, x):
         x_i = x[:-1]
@@ -68,9 +69,9 @@ class EvenRosenbrock(TargetMixin):
                b_coeff: float = DEFAULT_B_COEFF, mu=DEFAULT_MU) -> "EvenRosenbrock":
         if dim < 2 or dim % 2 != 0:
             raise ValueError("Dimension for EvenRosenbrock must be >= 2 and even.")
-        mu_arr = jnp.broadcast_to(jnp.asarray(mu, jnp.float32), (dim // 2,))
-        return cls(dim=dim, a_coeff=jnp.asarray(a_coeff, jnp.float32),
-                   b_coeff=jnp.asarray(b_coeff, jnp.float32), mu=mu_arr)
+        mu_arr = jnp.broadcast_to(jnp.asarray(mu, default_float()), (dim // 2,))
+        return cls(dim=dim, a_coeff=jnp.asarray(a_coeff, default_float()),
+                   b_coeff=jnp.asarray(b_coeff, default_float()), mu=mu_arr)
 
     def log_density_td(self, x):
         x_odd = x[0::2]   # x_{2i-1}, shape (d/2, *B)
@@ -119,9 +120,9 @@ class HybridRosenbrock(TargetMixin):
             raise ValueError("n2 (number of blocks) must be at least 1.")
         dim = 1 + n2 * (n1 - 1)
         return cls(dim=dim, n1=n1, n2=n2,
-                   a_coeff=jnp.asarray(a_coeff, jnp.float32),
-                   b_coeff=jnp.asarray(b_coeff, jnp.float32),
-                   mu=jnp.asarray(mu, jnp.float32))
+                   a_coeff=jnp.asarray(a_coeff, default_float()),
+                   b_coeff=jnp.asarray(b_coeff, default_float()),
+                   mu=jnp.asarray(mu, default_float()))
 
     def log_density_td(self, x):
         x_g1 = x[0]                               # (*B,)

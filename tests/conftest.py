@@ -9,15 +9,24 @@ import os
 # Must be set before jax is imported anywhere.  Assign unconditionally: the
 # environment may pre-set JAX_PLATFORMS to a hardware plugin (e.g. a tunneled
 # TPU) whose host<->device transfers are far too slow for a test suite.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+#
+# Set RWM_PT_TPU_TESTS=1 to instead run on the real TPU backend — for the
+# hardware-only tests (Pallas PRNG statistics):
+#   RWM_PT_TPU_TESTS=1 pytest tests/test_pallas_kernels.py -q
+# Only target specific files in this mode: the mesh-sharding tests need 8
+# devices and will fail on a single chip.
+_TPU_MODE = bool(os.environ.get("RWM_PT_TPU_TESTS"))
+if not _TPU_MODE:
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if not _TPU_MODE:
+    jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 
