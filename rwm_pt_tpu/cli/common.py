@@ -49,6 +49,10 @@ def add_run_args(parser: argparse.ArgumentParser, default_iters: int):
     parser.add_argument("--use_mesh", action="store_true",
                         help="Shard chains over every available device "
                              "('chains' mesh axis; see parallel/mesh.py)")
+    parser.add_argument("--multihost", action="store_true",
+                        help="Initialize the jax.distributed multi-host "
+                             "runtime before building the mesh (TPU pods; "
+                             "no-op on a single host)")
     parser.add_argument("--x64", "--use_double_precision", action="store_true",
                         dest="use_double_precision",
                         help="Use float64 (mirrors the reference's "
@@ -62,6 +66,9 @@ def configure_backend(args):
         jax.config.update("jax_platforms", "cpu")
     if getattr(args, "use_double_precision", False):
         jax.config.update("jax_enable_x64", True)
+    if getattr(args, "multihost", False):
+        from ..parallel import initialize_distributed
+        initialize_distributed()
     return jax
 
 
@@ -99,6 +106,10 @@ def resolve_actual_dim(args) -> int:
 
 
 def save_json(data: dict, path: str):
+    # multi-host: every process runs the same program; only host 0 writes
+    import jax
+    if jax.process_index() != 0:
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     with open(path, "w") as f:
         json.dump(data, f, indent=2)

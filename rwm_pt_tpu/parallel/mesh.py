@@ -31,9 +31,18 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host runtime bring-up (no-op single-host)."""
-    if jax.process_count() > 1 or kwargs:
+    """Multi-host runtime bring-up.
+
+    On a TPU pod, ``jax.distributed.initialize()`` auto-detects the
+    coordinator from the TPU metadata; on a lone host auto-detection fails,
+    which we treat as "single host" and continue (so CLIs can pass
+    ``--multihost`` unconditionally, e.g. scripts/launch_pt_pod.sh)."""
+    try:
         jax.distributed.initialize(**kwargs)
+    except (RuntimeError, ValueError) as e:  # no coordinator -> single host
+        if kwargs:
+            raise
+        print(f"[parallel] single-host run (distributed init skipped: {e})")
 
 
 def make_mesh(axis_sizes: Optional[Sequence[int]] = None,

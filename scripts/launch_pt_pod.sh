@@ -24,6 +24,7 @@ CMD="python -m rwm_pt_tpu.cli.experiment_pt \
     --burn_in $BURN_IN \
     --num_chains $NUM_CHAINS \
     --use_mesh \
+    --multihost \
     --N_samples_swap_est 1000000 \
     --iterative_tolerance 0.0001 \
     --iterative_max_pn_steps 1000 \

@@ -42,6 +42,7 @@ CMD="python -m rwm_pt_tpu.cli.experiment_rwm \
     --burn_in $BURN_IN \
     --num_chains $NUM_CHAINS \
     --use_mesh \
+    --multihost \
     --hybrid_rosenbrock_n1 8 \
     --hybrid_rosenbrock_n2 4 \
     --seed $SEED ${EXTRA_ARGS:-}"

@@ -122,3 +122,17 @@ def test_batch_averaging(sweep_data, tmp_path, monkeypatch, capsys):
     assert "2 seeds" in captured.out
     avgs = list(out.glob("*_averaged.json"))
     assert len(avgs) >= 1
+
+
+def test_combine_data_cli(sweep_data, tmp_path):
+    """Legacy two-file combiner (reference data/combine_data.py:26-41)."""
+    from rwm_pt_tpu.analysis.combine_data import main
+    out, datasets = sweep_data
+    files = sorted(str(out / f) for f in os.listdir(out) if "seed" in f)
+    dst = tmp_path / "combined.json"
+    main(files[:2] + ["-o", str(dst)])
+    combined = json.loads(dst.read_text())
+    assert combined["num_files_averaged"] == 2
+    expect = np.mean([datasets[1]["acceptance_rates"],
+                      datasets[2]["acceptance_rates"]], axis=0)
+    np.testing.assert_allclose(combined["acceptance_rates"], expect)
