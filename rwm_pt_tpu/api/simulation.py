@@ -52,6 +52,7 @@ class MCMCSimulation:
                  burn_in: int = 0,
                  num_chains: int = 1,
                  swap_every: int = 100,
+                 cpu_semantics: bool = False,
                  iterative_temp_spacing: bool = False,
                  geom_temp_spacing: bool = False,
                  beta_min_iterative: float = 0.01,
@@ -91,6 +92,9 @@ class MCMCSimulation:
         self.proposal_dist = create_proposal_distribution(dim, proposal_config)
         self.num_chains = num_chains
         self.swap_every = swap_every
+        # reference CPU PT semantics: swap *instead of* move on swap steps
+        # (pt_rwm.py:169-184); default False = GPU semantics (SURVEY.md §3.3)
+        self.cpu_semantics = cpu_semantics
         self.seed = 42 if seed is None else seed
         self.key = jax.random.key(self.seed)
         self.symmetric = symmetric
@@ -155,7 +159,8 @@ class MCMCSimulation:
         eligible = (self.proposal_config.get("name") == "Normal"
                     and not self.record_chain and self.mesh is None
                     and jax.default_backend() == "tpu"
-                    and not jax.config.jax_enable_x64)
+                    and not jax.config.jax_enable_x64
+                    and not self.cpu_semantics)
         if self.engine == "pallas":
             if not eligible:
                 raise ValueError(
@@ -220,6 +225,7 @@ class MCMCSimulation:
                          num_chains=self.num_chains,
                          num_iterations=self.num_iterations,
                          burn_in=self.burn_in, swap_every=self.swap_every,
+                         cpu_semantics=self.cpu_semantics,
                          init_states=init_states,
                          record_every=rec, record_chains=1)
         else:

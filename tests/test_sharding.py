@@ -100,3 +100,30 @@ def test_graft_entry_and_dryrun():
     assert int(out.step) == 1
     ge.dryrun_multichip(8)
     ge.dryrun_multichip(4)
+
+
+def test_pt_full_run_2d_mesh_matches_unsharded(target, key):
+    """The whole jitted run_pt (scan over steps, swaps included) on a
+    (chains, temps) mesh must agree with the single-device run."""
+    from rwm_pt_tpu.kernels import run_pt
+
+    prop = NormalProposal.create(4, 0.5)
+    betas = jnp.geomspace(1.0, 0.01, 8).astype(jnp.float32)
+    C = 32
+    x0 = target.init_sample(key, C).T                     # (d, C)
+    x0 = jnp.broadcast_to(x0[:, None, :], (4, 8, C))
+    mesh = make_mesh((4, 2), ("chains", "temps"))
+    x0_sh = jax.device_put(x0, NamedSharding(mesh, P(None, "temps", "chains")))
+
+    r_plain = run_pt(target, prop, key, betas, num_chains=C,
+                     num_iterations=100, burn_in=10, swap_every=5,
+                     init_states=x0)
+    r_shard = run_pt(target, prop, key, betas, num_chains=C,
+                     num_iterations=100, burn_in=10, swap_every=5,
+                     init_states=x0_sh)
+    np.testing.assert_allclose(np.asarray(r_plain.state.x),
+                               np.asarray(r_shard.state.x), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(r_plain.state.swap_accept_count),
+                                  np.asarray(r_shard.state.swap_accept_count))
+    np.testing.assert_allclose(np.asarray(r_plain.pt_esjd),
+                               np.asarray(r_shard.pt_esjd), rtol=1e-5)
