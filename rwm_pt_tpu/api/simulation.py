@@ -240,8 +240,11 @@ class MCMCSimulation:
 
         if res.chain is not None:
             chain = np.asarray(res.chain[..., 0])        # (n_rec, d)
-            if self.record_every == 1:
-                chain = chain[self.burn_in:]
+            # entry k holds the state after step (k+1)*rec; drop entries from
+            # burn-in steps (<= burn_in) so thinned chains honor the "chain
+            # excludes burn-in" contract too
+            rec = self.record_every or 1
+            chain = chain[self.burn_in // rec:]
             self._chain_np = chain
         if verbose:
             total_steps = (self.burn_in + self.num_iterations) * self.num_chains
@@ -334,6 +337,10 @@ class MCMCSimulation:
         state = self._result.state
         flat, _ = jax.tree_util.tree_flatten(state)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+        # np.savez appends '.npz' itself when missing; normalize so
+        # save_checkpoint(p) / resume(p) agree on the file name
+        if not path.endswith(".npz"):
+            path = path + ".npz"
         np.savez(path, *[np.asarray(x) for x in flat],
                  meta=json.dumps({
                      "algorithm": self.algorithm_name,
@@ -346,6 +353,8 @@ class MCMCSimulation:
                  }))
 
     def load_checkpoint(self, path: str):
+        if not os.path.exists(path) and not path.endswith(".npz"):
+            path = path + ".npz"
         data = np.load(path, allow_pickle=False)
         meta = json.loads(str(data["meta"]))
         keys = sorted((k for k in data.files if k != "meta"),
@@ -375,6 +384,7 @@ class MCMCSimulation:
                          jnp.asarray(self.beta_ladder, default_float()),
                          num_chains=self.num_chains, num_iterations=n,
                          burn_in=self.burn_in, swap_every=self.swap_every,
+                         cpu_semantics=self.cpu_semantics,
                          resume_state=state)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, key,

@@ -23,7 +23,7 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
               swap_accept_max=0.5, seed=42, burn_in=1000,
               N_samples_swap_est=50000, iterative_tolerance=0.0005,
               iterative_max_pn_steps=500, iterative_fail_tol_factor=1.5,
-              use_double_precision=False, num_chains=64, num_configs=30,
+              num_chains=64, num_configs=30,
               swap_every=100, geom_ladder=False, output_dir="data",
               images_dir="images", make_plots=True, use_mesh=False, **kwargs):
     import jax
@@ -161,10 +161,11 @@ def main(argv=None):
     configure_backend(args)
 
     dim = resolve_actual_dim(args)
+    # x64 itself is applied globally by configure_backend (--x64)
     run_study(dim, args.target, args.num_iters, args.swap_accept_max,
               args.seed, args.burn_in, args.N_samples_swap_est,
               args.iterative_tolerance, args.iterative_max_pn_steps,
-              args.iterative_fail_tol_factor, args.use_double_precision,
+              args.iterative_fail_tol_factor,
               num_chains=args.num_chains, num_configs=args.num_configs,
               swap_every=args.swap_every, geom_ladder=args.geom_ladder,
               output_dir=args.output_dir, images_dir=args.images_dir,

@@ -43,9 +43,13 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
         lp0 = tuple(target.log_density_td(x0[t])[None, :] for t in range(T))
         B = x0[0].shape[-1]
         zeros_b = jnp.zeros((1, B), jnp.float32)
+        zeros_i = jnp.zeros((1, B), jnp.int32)
 
         def body(step, carry):
-            x, lp, acc, swapacc, betajump, coldjump = carry
+            # counts are exact int32 (f32 counters saturate at 2^24); the
+            # float jump sums use Kahan compensation (cc/bc carries) so
+            # 1e8-step accumulations don't drop small increments
+            x, lp, acc, swapacc, betajump, bc, coldjump, cc = carry
             x, lp = list(x), list(lp)
             post = step + 1 > burn_in
             cold_before = x[0]
@@ -61,7 +65,7 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
                 x[t] = jnp.where(accept, prop, x[t])
                 lp[t] = jnp.where(accept, lp_prop, lp[t])
                 if t == 0:
-                    acc = acc + jnp.where(post & accept, 1.0, 0.0)
+                    acc = acc + (post & accept).astype(jnp.int32)
 
             # ---- swap phase: sequential adjacent sweep (reference :594-633) --
             do_swap = post & ((step + 1) % swap_every == 0)
@@ -75,18 +79,23 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
                 lpj, lpk = lp[j], lp[j + 1]
                 lp[j] = jnp.where(sw, lpk, lpj)
                 lp[j + 1] = jnp.where(sw, lpj, lpk)
-                swapacc = swapacc + jnp.where(sw, 1.0, 0.0)
+                swapacc = swapacc + sw.astype(jnp.int32)
                 db = betas_ref[j] - betas_ref[j + 1]
-                betajump = betajump + jnp.where(sw, db * db, 0.0)
+                y = jnp.where(sw, db * db, 0.0) - bc
+                tot = betajump + y
+                bc = (tot - betajump) - y
+                betajump = tot
 
             step_jump = jnp.sum(jnp.square(x[0] - cold_before), axis=0,
                                 keepdims=True)
-            coldjump = coldjump + jnp.where(post, step_jump, 0.0)
-            return tuple(x), tuple(lp), acc, swapacc, betajump, coldjump
+            y = jnp.where(post, step_jump, 0.0) - cc
+            tot = coldjump + y
+            cc = (tot - coldjump) - y
+            return (tuple(x), tuple(lp), acc, swapacc, betajump, bc, tot, cc)
 
-        x, lp, acc, swapacc, betajump, coldjump = jax.lax.fori_loop(
+        (x, lp, acc, swapacc, betajump, _, coldjump, _) = jax.lax.fori_loop(
             0, total_steps, body,
-            (x0, lp0, zeros_b, zeros_b, zeros_b, zeros_b))
+            (x0, lp0, zeros_i, zeros_i, zeros_b, zeros_b, zeros_b, zeros_b))
         for t in range(T):
             x_out_ref[t] = x[t]
             lp_out_ref[t] = lp[t][0]
@@ -161,8 +170,8 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float,
         out_shape=[
             jax.ShapeDtypeStruct((T, dim, num_chains), jnp.float32),
             jax.ShapeDtypeStruct((T, num_chains), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_chains), jnp.int32),
+            jax.ShapeDtypeStruct((1, num_chains), jnp.int32),
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
         ],

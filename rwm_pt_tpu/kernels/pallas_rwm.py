@@ -93,9 +93,13 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
         x0 = x_ref[:]
         lp0 = target.log_density_td(x0)[None, :]          # (1, BLOCK)
         zeros = jnp.zeros_like(lp0)
+        zeros_i = jnp.zeros(lp0.shape, jnp.int32)
 
         def body(t, carry):
-            x, lp, acc, jump = carry
+            # acc is an exact int32 counter (an f32 counter saturates at 2^24
+            # accepts); jump uses Kahan compensation (jc) so 1e8-step sums
+            # don't lose small increments once the running total grows
+            x, lp, acc, jump, jc = carry
             eps = _normal(x.shape) * std
             prop = x + eps
             lp_prop = target.log_density_td(prop)[None, :]
@@ -105,13 +109,15 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
             x_new = jnp.where(accept, prop, x)            # (1,B) -> (d,B)
             lp_new = jnp.where(accept, lp_prop, lp)
             post = t + 1 > burn_in
-            acc = acc + jnp.where(post & accept, 1.0, 0.0)
+            acc = acc + (post & accept).astype(jnp.int32)
             step_jump = jnp.sum(jnp.square(x_new - x), axis=0, keepdims=True)
-            jump = jump + jnp.where(post, step_jump, 0.0)
-            return x_new, lp_new, acc, jump
+            y = jnp.where(post, step_jump, 0.0) - jc
+            tot = jump + y
+            jc = (tot - jump) - y
+            return x_new, lp_new, acc, tot, jc
 
-        x, lp, acc, jump = jax.lax.fori_loop(
-            0, total_steps, body, (x0, lp0, zeros, zeros))
+        x, lp, acc, jump, _ = jax.lax.fori_loop(
+            0, total_steps, body, (x0, lp0, zeros_i, zeros, zeros))
         x_out_ref[:] = x
         lp_out_ref[:] = lp
         acc_ref[:] = acc
@@ -182,7 +188,7 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float,
         out_shape=[
             jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+            jax.ShapeDtypeStruct((1, num_chains), jnp.int32),
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
         ],
         # the TPU-semantics interpreter (supports pltpu.prng_*) for CPU tests

@@ -79,9 +79,14 @@ def pt_init(target, key, betas, num_chains: int, init_states=None) -> PTState:
         step=jnp.zeros((), jnp.int32))
 
 
-def _mh_phase(state: PTState, key, target, proposal, betas, burn_in) -> PTState:
+def _mh_phase(state: PTState, key, target, proposal, betas, burn_in,
+              rung_mask=None) -> PTState:
     """Batched MH move across (T, C) — the reference's fused parallel step
-    (pt_rwm_gpu_optimized.py:61-84) plus increment generation (:576-592)."""
+    (pt_rwm_gpu_optimized.py:61-84) plus increment generation (:576-592).
+
+    ``rung_mask``: optional (T,) bool — rungs where it is False keep their
+    state (used by CPU semantics, where only the hottest rung moves on swap
+    steps, pt_rwm.py:169-184)."""
     T, C = state.logp.shape
     k_inc, k_u = jax.random.split(key)
     inc = proposal.sample_td(k_inc, betas, (T, C))          # (d, T, C)
@@ -90,6 +95,8 @@ def _mh_phase(state: PTState, key, target, proposal, betas, burn_in) -> PTState:
     log_ratio = betas[:, None] * (lp_prop - state.logp)
     u = jax.random.uniform(k_u, (T, C))
     accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
+    if rung_mask is not None:
+        accept = accept & rung_mask[:, None]
     x_new = jnp.where(accept[None], prop, state.x)
     lp_new = jnp.where(accept, lp_prop, state.logp)
     post = state.step + 1 > burn_in
@@ -160,10 +167,17 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
     cold_before = state.x[:, 0, :]
     step_counter = state.step + 1
     if cpu_semantics:
+        # swap steps: rungs 0..T-2 attempt swaps instead of MH moves, but the
+        # hottest rung (T-1, the reference's chain without an upper partner)
+        # still takes its MH move (pt_rwm.py:175-181)
+        T = betas.shape[0]
+        last_only = jnp.arange(T) == T - 1
         is_swap_step = step_counter % swap_every == 0
         state = jax.lax.cond(
             is_swap_step,
-            lambda s: _swap_phase(s, k_swap, betas),
+            lambda s: _mh_phase(_swap_phase(s, k_swap, betas), k_mh, target,
+                                proposal, betas, burn_in,
+                                rung_mask=last_only),
             lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in),
             state)
     else:
@@ -234,10 +248,21 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
 
     n = jnp.maximum(state.step - burn_in, 1).astype(default_float())
     attempts = jnp.maximum(state.swap_attempt_count, 1).astype(default_float())
+    if cpu_semantics:
+        # rungs 0..T-2 only attempt MH on non-swap steps (swap steps are the
+        # post-burn-in multiples of swap_every with no burn-in gate); the
+        # hottest rung attempts MH every step
+        n_swap_steps = (state.step // swap_every
+                        - burn_in // swap_every).astype(default_float())
+        T = betas.shape[0]
+        mh_attempts = jnp.where(jnp.arange(T)[:, None] == T - 1, n,
+                                jnp.maximum(n - n_swap_steps, 1.0))
+    else:
+        mh_attempts = n
     return PTResult(
         state=state,
         swap_acceptance_rate=state.swap_accept_count / attempts,
         pt_esjd=state.sum_beta_sq_jump / attempts,
         cold_esjd=state.sum_sq_jump_cold / n,
-        acceptance_rate=state.accept_count / n,
+        acceptance_rate=state.accept_count / mh_attempts,
         chain=chain)

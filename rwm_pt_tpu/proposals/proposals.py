@@ -63,7 +63,7 @@ class NormalProposal(Proposal):
                                                              default_float()))
 
     def sample_td(self, key, betas, batch_shape):
-        betas = jnp.atleast_1d(jnp.asarray(betas))[..., None] if False else jnp.asarray(betas)
+        betas = jnp.asarray(betas)
         z = jax.random.normal(key, (self.dim,) + tuple(batch_shape))
         std = jnp.sqrt(self.base_variance_scalar / betas)
         if std.ndim > 0:

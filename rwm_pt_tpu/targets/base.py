@@ -76,16 +76,6 @@ class TargetMixin:
             "manual temperature ladder."
         )
 
-    @property
-    def has_direct_sampler(self) -> bool:
-        try:
-            self.direct_sample(jax.random.key(0), 1)
-        except NotImplementedError:
-            return False
-        except Exception:
-            return True
-        return True
-
     def init_sample(self, key, n: int):
         """Initial chain states ``(n, dim)``.
 

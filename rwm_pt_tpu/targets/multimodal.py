@@ -13,6 +13,7 @@ import math
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from .base import TargetMixin, bdim
@@ -52,14 +53,21 @@ class ThreeMixture(TargetMixin):
     @classmethod
     def create(cls, dim: int, scaling: bool = False, mode_centers=None,
                mode_weights=None, seed: int = 0) -> "ThreeMixture":
-        default_centers = mode_centers is None and mode_weights is None
+        # default: modes at first coordinate -5, 0, +5 (reference :57-62)
+        def_centers = [[-5.0] + [0.0] * (dim - 1),
+                       [0.0] * dim,
+                       [5.0] + [0.0] * (dim - 1)]
+        def_weights = [1 / 3, 1 / 3, 1 / 3]
         if mode_centers is None:
-            # default: modes at first coordinate -5, 0, +5 (reference :57-62)
-            mode_centers = [[-5.0] + [0.0] * (dim - 1),
-                            [0.0] * dim,
-                            [5.0] + [0.0] * (dim - 1)]
+            mode_centers = def_centers
         if mode_weights is None:
-            mode_weights = [1 / 3, 1 / 3, 1 / 3]
+            mode_weights = def_weights
+        # by-value default detection like the reference's torch.allclose name
+        # generation (multimodal_torch.py:128-155), so passing the default
+        # values explicitly (e.g. via the registry) keeps the canonical name
+        default_centers = bool(
+            np.allclose(np.asarray(mode_centers, float), def_centers)
+            and np.allclose(np.asarray(mode_weights, float), def_weights))
         means = jnp.asarray(mode_centers, default_float())
         if means.shape != (3, dim):
             raise ValueError(f"mode_centers must have shape (3, {dim}), got {means.shape}")
@@ -122,11 +130,13 @@ class RoughCarpet(TargetMixin):
     @classmethod
     def create(cls, dim: int, scaling: bool = False, mode_centers=None,
                mode_weights=None, seed: int = 0) -> "RoughCarpet":
-        default = mode_centers is None and mode_weights is None
         modes = jnp.asarray([-5.0, 0.0, 5.0] if mode_centers is None
                             else mode_centers, default_float())
         w = jnp.asarray([0.5, 0.3, 0.2] if mode_weights is None
                         else mode_weights, default_float())
+        # by-value default detection (see ThreeMixture.create)
+        default = bool(np.allclose(np.asarray(modes), [-5.0, 0.0, 5.0])
+                       and np.allclose(np.asarray(w), [0.5, 0.3, 0.2]))
         if modes.shape != (3,):
             raise ValueError("mode_centers must contain exactly 3 scalar modes")
         if w.shape != (3,):

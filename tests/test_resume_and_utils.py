@@ -97,3 +97,60 @@ def test_throughput_forensics(key):
     assert np.isfinite(report["rate_degradation"])
     # healthy steady-state: no order-of-magnitude degradation
     assert report["rate_degradation"] < 10.0
+
+
+def test_checkpoint_path_without_npz_suffix(tmp_path):
+    """save_checkpoint(p)/resume(p) must agree even when p lacks '.npz'
+    (np.savez appends it silently)."""
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=300, algorithm="RWM",
+                         target_dist="MultivariateNormal", num_chains=8,
+                         burn_in=50, seed=3, record_chain=False)
+    sim.generate_samples(verbose=False)
+    p = str(tmp_path / "ckpt" / "state")          # no suffix
+    sim.save_checkpoint(p)
+    res = sim.resume(p, num_iterations=100)
+    assert int(res.state.step) == 350 + 100
+
+
+def test_thinned_chain_excludes_burn_in(key):
+    """record_every > 1 must still trim burn-in rows from the chain
+    (entry k is the state after step (k+1)*rec)."""
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=400, algorithm="RWM",
+                         target_dist="MultivariateNormal", num_chains=4,
+                         burn_in=100, seed=3, record_chain=True,
+                         record_every=5)
+    chain = sim.generate_samples(verbose=False)
+    n_rec_total = (100 + 400) // 5
+    assert chain.shape == (n_rec_total - 100 // 5, 2)
+
+
+def test_cpu_semantics_resume_preserved(tmp_path):
+    """resume() must keep cpu_semantics (a silent semantics switch mid-run
+    would mix two different algorithms)."""
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=200, algorithm="PT",
+                         target_dist="MultivariateNormal", num_chains=8,
+                         burn_in=40, seed=3, record_chain=False,
+                         geom_temp_spacing=True, swap_every=10,
+                         cpu_semantics=True)
+    sim.generate_samples(verbose=False)
+    p = str(tmp_path / "c.npz")
+    sim.save_checkpoint(p)
+    res = sim.resume(p, num_iterations=100)
+    # under cpu semantics the hot rung attempts MH every step while colder
+    # rungs skip swap steps; the normalization must not exceed 1.0
+    assert float(jnp.max(res.acceptance_rate)) <= 1.0
+    assert int(res.state.step) == 240 + 100
+
+
+def test_cpu_semantics_acceptance_normalization(key):
+    """Under cpu_semantics, rungs <T-1 attempt MH only on non-swap steps;
+    with a high-acceptance proposal the reported rate must stay near the
+    true per-attempt rate, not be deflated by 1/swap_every."""
+    target = MultivariateNormal.create(2)
+    prop = NormalProposal.create(2, 1e-6)   # tiny steps -> acceptance ~1
+    betas = jnp.geomspace(1.0, 0.1, 4).astype(jnp.float32)
+    res = run_pt(target, prop, key, betas, num_chains=16, num_iterations=400,
+                 burn_in=0, swap_every=4, cpu_semantics=True)
+    # every attempted MH move accepts; a mis-normalized rate would be ~0.75
+    # for the cold rungs (1 - 1/swap_every)
+    assert float(jnp.min(res.acceptance_rate)) > 0.99
