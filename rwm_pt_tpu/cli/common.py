@@ -49,6 +49,10 @@ def add_run_args(parser: argparse.ArgumentParser, default_iters: int):
     parser.add_argument("--use_mesh", action="store_true",
                         help="Shard chains over every available device "
                              "('chains' mesh axis; see parallel/mesh.py)")
+    parser.add_argument("--rng", type=str, default="threefry2x32",
+                        choices=["threefry2x32", "rbg"],
+                        help="PRNG implementation; 'rbg' is ~25%% faster for "
+                             "the scan engine on TPU")
     parser.add_argument("--multihost", action="store_true",
                         help="Initialize the jax.distributed multi-host "
                              "runtime before building the mesh (TPU pods; "

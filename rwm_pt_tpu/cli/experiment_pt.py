@@ -25,7 +25,8 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
               iterative_max_pn_steps=500, iterative_fail_tol_factor=1.5,
               num_chains=64, num_configs=30,
               swap_every=100, geom_ladder=False, output_dir="data",
-              images_dir="images", make_plots=True, use_mesh=False, **kwargs):
+              images_dir="images", make_plots=True, use_mesh=False,
+              rng_impl="threefry2x32", **kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -46,7 +47,7 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
     # standard PT scaling sigma = 2.38^2/dim (reference :213-214)
     proposal_variance = (2.38 ** 2) / actual_dim
     prop = NormalProposal.create(actual_dim, proposal_variance)
-    key = jax.random.key(seed)
+    key = jax.random.key(seed, impl=rng_impl)
 
     acceptance_rates, esjds, times, ladder_sizes = [], [], [], []
     total_start = time.time()
@@ -169,7 +170,8 @@ def main(argv=None):
               num_chains=args.num_chains, num_configs=args.num_configs,
               swap_every=args.swap_every, geom_ladder=args.geom_ladder,
               output_dir=args.output_dir, images_dir=args.images_dir,
-              use_mesh=args.use_mesh, **target_kwargs_from_args(args))
+              use_mesh=args.use_mesh, rng_impl=args.rng,
+              **target_kwargs_from_args(args))
     print("Finished running TPU-accelerated parallel tempering experiment.")
 
 

@@ -30,7 +30,7 @@ def run_study(dim, target_name="MultivariateNormal", num_iters=100000,
               var_max=3.5, seed=42, burn_in=1000, proposal_name="Normal",
               proposal_params=None, num_chains=64, num_configs=40,
               output_dir="data", images_dir="images", make_plots=True,
-              use_mesh=False, **kwargs):
+              use_mesh=False, rng_impl="threefry2x32", **kwargs):
     import jax
     import jax.numpy as jnp
 
@@ -51,7 +51,7 @@ def run_study(dim, target_name="MultivariateNormal", num_iters=100000,
     scale_param_range = np.linspace(0.01, var_max, num_configs)
 
     anisotropic = (proposal_params or {}).get("anisotropic")
-    key = jax.random.key(seed)
+    key = jax.random.key(seed, impl=rng_impl)
 
     init = None
     if use_mesh:
@@ -243,7 +243,7 @@ def main(argv=None):
               num_chains=args.num_chains, num_configs=args.num_configs,
               output_dir=args.output_dir, images_dir=args.images_dir,
               make_plots=not args.no_plots, use_mesh=args.use_mesh,
-              **target_kwargs_from_args(args))
+              rng_impl=args.rng, **target_kwargs_from_args(args))
     print(f"Finished running experiment with {args.proposal} proposal.")
 
 

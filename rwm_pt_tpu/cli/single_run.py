@@ -21,7 +21,7 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                           burn_in, proposal_name="Normal", algorithm="RWM",
                           num_chains=8, swap_every=100, output_dir="data",
                           images_dir="images", make_plots=True,
-                          use_mesh=False, **kwargs):
+                          use_mesh=False, rng_impl="threefry2x32", **kwargs):
     import jax
     import jax.numpy as jnp
     from ..api import MCMCSimulation
@@ -37,7 +37,8 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                          burn_in=burn_in, num_chains=num_chains,
                          swap_every=swap_every,
                          geom_temp_spacing=(algorithm.upper() == "PT"),
-                         record_chain=True, use_mesh=use_mesh)
+                         record_chain=True, use_mesh=use_mesh,
+                         rng_impl=rng_impl)
     t0 = time.time()
     chain = sim.generate_samples()
     elapsed = time.time() - t0
@@ -113,7 +114,7 @@ def main(argv=None):
                           output_dir=args.output_dir,
                           images_dir=args.images_dir,
                           make_plots=not args.no_plots,
-                          use_mesh=args.use_mesh,
+                          use_mesh=args.use_mesh, rng_impl=args.rng,
                           **target_kwargs_from_args(args))
 
 

@@ -170,3 +170,17 @@ def test_determinism_same_seed(key):
     r3 = run_rwm(tgt, prop, jax.random.key(123), num_chains=8,
                  num_iterations=200, burn_in=0)
     assert not np.array_equal(np.asarray(r1.state.x), np.asarray(r3.state.x))
+
+
+def test_rbg_rng_impl(key):
+    """The 'rbg' PRNG (TPU-friendly, ~25% faster scan steps) must produce
+    statistically equivalent runs through the public API."""
+    from rwm_pt_tpu.api import MCMCSimulation
+    sim = MCMCSimulation(dim=2, sigma=2.83, num_iterations=4000,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         num_chains=64, burn_in=400, seed=3,
+                         record_chain=False, rng_impl="rbg")
+    sim.generate_samples(verbose=False)
+    assert 0.15 < sim.acceptance_rate() < 0.45
+    x = np.asarray(sim._result.state.x)
+    assert abs(x.mean()) < 0.2
