@@ -85,7 +85,11 @@ class MCMCSimulation:
         if target_dist is None:
             raise ValueError("target_dist is required")
 
-        self.dim = dim
+        # targets whose dimension is derived from their own structure
+        # (SuperFunnel: J+JK+1+K+2, HybridRosenbrock: 1+n2(n1-1)) override a
+        # missing/mismatched dim, like the CLIs' resolve_actual_dim
+        self.dim = target_dist.dim
+        dim = target_dist.dim
         self.num_iterations = num_iterations
         self.burn_in = max(0, burn_in)
         self.target_dist = target_dist
@@ -162,11 +166,17 @@ class MCMCSimulation:
     def _use_pallas(self) -> bool:
         if self.engine == "scan":
             return False
+        # SuperFunnel's slice-heavy log-density is pathological for the
+        # Mosaic compiler (multi-minute/hanging pallas compiles); auto mode
+        # keeps it on the scan engine.  engine='pallas' still forces it.
+        slow_compile = "SuperFunnel" in self.target_dist.get_name()
         eligible = (self.proposal_config.get("name") == "Normal"
                     and not self.record_chain and self.mesh is None
                     and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
                     and not self.cpu_semantics)
+        if self.engine == "auto" and slow_compile:
+            return False
         if self.engine == "pallas":
             if not eligible:
                 raise ValueError(

@@ -184,3 +184,17 @@ def test_rbg_rng_impl(key):
     assert 0.15 < sim.acceptance_rate() < 0.45
     x = np.asarray(sim._result.state.x)
     assert abs(x.mean()) < 0.2
+
+
+def test_dim_derived_from_structured_target(key):
+    """Targets whose dim comes from their own structure (SuperFunnel,
+    HybridRosenbrock) must override a missing dim argument."""
+    from rwm_pt_tpu.api import MCMCSimulation
+    sim = MCMCSimulation(dim=None, sigma=0.1, num_iterations=200,
+                         algorithm="RWM", target_dist="SuperFunnel",
+                         num_chains=8, burn_in=20, record_chain=False,
+                         seed=2, target_kwargs={"J": 5, "K": 3,
+                                                "n_per_group": 20})
+    assert sim.dim == 5 + 5 * 3 + 1 + 3 + 2     # J+JK+1+K+2 (funnel_torch.py:134)
+    sim.generate_samples(verbose=False)
+    assert 0.0 <= sim.acceptance_rate() <= 1.0
