@@ -49,12 +49,13 @@ def main():
         C = args.chains or 65536
         iters = args.iters or 2000
 
+    from rwm_pt_tpu.utils import force
+
     target = FullRosenbrock.create(dim)
     # scale 0.5 gives cold-chain acceptance ~0.34 and near-0.234 swap rates on
     # this target (2.38^2/d assumes iid coordinates and over-shoots the
     # Rosenbrock ridge curvature)
     base_variance = 0.5 ** 2 / dim
-    prop = NormalProposal.create(dim, base_variance)
     betas = jnp.geomspace(1.0, 0.01, T).astype(jnp.float32)
     key = jax.random.key(0)
 
@@ -63,19 +64,16 @@ def main():
         from rwm_pt_tpu.kernels.pallas_pt import run_pt_pallas
 
         def one_run(k):
-            res = run_pt_pallas(target, k, betas, base_variance=base_variance,
-                                num_chains=C, num_iterations=iters, burn_in=0,
-                                swap_every=100)
-            # force full execution with a scalar fetch: block_until_ready
-            # alone does not reliably block on tunneled/remote platforms
-            jnp.sum(res.state.logp).item()
-            return res
+            return force(run_pt_pallas(
+                target, k, betas, base_variance=base_variance, num_chains=C,
+                num_iterations=iters, burn_in=0, swap_every=100))
     else:
+        prop = NormalProposal.create(dim, base_variance)
+
         def one_run(k):
-            res = run_pt(target, prop, k, betas, num_chains=C,
-                         num_iterations=iters, burn_in=0, swap_every=100)
-            jnp.sum(res.state.logp).item()
-            return res
+            return force(run_pt(target, prop, k, betas, num_chains=C,
+                                num_iterations=iters, burn_in=0,
+                                swap_every=100))
 
     # compile + warm
     t0 = time.time()

@@ -107,8 +107,13 @@ def generate_output_filename(pattern: str, seeds: List[int]) -> str:
     return f"{pattern}_{seed_str}_averaged.json"
 
 
-def construct_pattern(target: str, algorithm: str, dim: int, iters: int) -> str:
-    return f"{target}_{algorithm}_dim{dim}_{iters}iters"
+def construct_pattern(target: str, algorithm: str, dim: int, iters: int,
+                      proposal: str = "Normal") -> str:
+    """RWM files carry a proposal segment ('{target}_{proposal}_RWM_TPU_...',
+    cli/experiment_rwm.py); PT files do not ('{target}_PT_TPU_...')."""
+    if algorithm.upper().startswith("PT"):
+        return f"{target}_{algorithm}_dim{dim}_{iters}iters"
+    return f"{target}_{proposal}_{algorithm}_dim{dim}_{iters}iters"
 
 
 def main(argv=None):
@@ -120,6 +125,9 @@ def main(argv=None):
                             '100000iters"')
     group.add_argument("--target", type=str)
     parser.add_argument("--algorithm", type=str, default="RWM_TPU")
+    parser.add_argument("--proposal", type=str, default="Normal",
+                        help="Proposal segment of RWM filenames (ignored "
+                             "for PT)")
     parser.add_argument("--dim", type=int)
     parser.add_argument("--iters", type=int)
     parser.add_argument("--data_dir", type=str, default="data")
@@ -127,7 +135,8 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     pattern = args.pattern or construct_pattern(args.target, args.algorithm,
-                                                args.dim, args.iters)
+                                                args.dim, args.iters,
+                                                args.proposal)
     files = find_matching_files(args.data_dir, pattern)
     if len(files) < args.min_seeds:
         raise SystemExit(f"Found only {len(files)} files for pattern "

@@ -115,6 +115,10 @@ class MCMCSimulation:
         self.algorithm_name = ("PT_RWM_TPU" if self.is_pt else "RWM_TPU")
 
         if self.is_pt:
+            if geom_temp_spacing and iterative_temp_spacing:
+                raise ValueError("geom_temp_spacing and iterative_temp_spacing"
+                                 " are mutually exclusive (geometric is the "
+                                 "default when neither is set)")
             if beta_ladder is not None:
                 self.beta_ladder = list(beta_ladder)
             elif iterative_temp_spacing:
@@ -392,6 +396,7 @@ class MCMCSimulation:
         from ..kernels import run_pt, run_rwm
         state, meta = self.restore_state(path)
         n = num_iterations or self.num_iterations
+        start = time.time()
         # a fresh fold of the key: the kernels derive per-step randomness from
         # the absolute step counter, so the stream continues, not replays
         key = jax.random.fold_in(self.key, int(state.step))
@@ -407,6 +412,11 @@ class MCMCSimulation:
                           num_chains=self.num_chains, num_iterations=n,
                           burn_in=self.burn_in, resume_state=state)
         self._result = jax.block_until_ready(res)
+        # the resumed segment records no chain and has its own walltime;
+        # stale values from the first segment must not leak into plots or
+        # get_diagnostic_info
+        self._chain_np = None
+        self._elapsed = time.time() - start
         return self._result
 
     # ----------------------------------------------------------------- plots

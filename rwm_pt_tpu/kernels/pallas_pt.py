@@ -125,11 +125,8 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float,
     # double-buffered through the fori_loop and the in/out tiles coexist)
     vmem_cap = max(128, int(11e6 / ((4 * T + 14) * dim * 4)) // 128 * 128)
     block = min(block, vmem_cap, num_chains)
-    while num_chains % block:
-        block -= 128 if block > 128 else 1
-        if block <= 0:
-            block = num_chains
-            break
+    if num_chains % block:
+        block = int(np.gcd(num_chains, block)) or num_chains
     n_blocks = num_chains // block
     total = burn_in + num_iterations
 
@@ -179,8 +176,7 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float,
 
     n = jnp.float32(num_iterations)
     # swap events: steps s in (burn_in, total] with s % swap_every == 0
-    n_events = sum(1 for s in range(burn_in + 1, total + 1)
-                   if s % swap_every == 0)
+    n_events = total // swap_every - burn_in // swap_every
     attempts = max(n_events * (T - 1), 1)
     acc_count = jnp.zeros((T, num_chains), jnp.int32).at[0].set(
         acc_f[0].astype(jnp.int32))

@@ -143,7 +143,10 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float,
     # cap the block so ~11 live (dim, block) f32 arrays fit the 16MB VMEM
     # budget (measured: blk=16384 at d=30 needs 21MB and OOMs)
     vmem_cap = max(128, int(14e6 / (44 * dim)) // 128 * 128)
-    block = min(block, vmem_cap)
+    block = min(block, vmem_cap, num_chains)
+    # gcd fallback: measured as fast as the largest-divisor search (at d=100
+    # the kernel is bandwidth-bound, bigger tiles don't help) and compiles
+    # much faster
     if num_chains % block:
         block = int(np.gcd(num_chains, block)) or num_chains
     n_blocks = num_chains // block

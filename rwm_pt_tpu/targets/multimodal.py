@@ -62,18 +62,17 @@ class ThreeMixture(TargetMixin):
             mode_centers = def_centers
         if mode_weights is None:
             mode_weights = def_weights
-        # by-value default detection like the reference's torch.allclose name
-        # generation (multimodal_torch.py:128-155), so passing the default
-        # values explicitly (e.g. via the registry) keeps the canonical name
-        default_centers = bool(
-            np.allclose(np.asarray(mode_centers, float), def_centers)
-            and np.allclose(np.asarray(mode_weights, float), def_weights))
         means = jnp.asarray(mode_centers, default_float())
         if means.shape != (3, dim):
             raise ValueError(f"mode_centers must have shape (3, {dim}), got {means.shape}")
         w = jnp.asarray(mode_weights, default_float())
         if w.shape != (3,):
             raise ValueError("mode_weights must contain exactly 3 weights")
+        # by-value default detection like the reference's torch.allclose name
+        # generation (multimodal_torch.py:128-155), so passing the default
+        # values explicitly (e.g. via the registry) keeps the canonical name
+        default_centers = bool(np.allclose(np.asarray(means), def_centers)
+                               and np.allclose(np.asarray(w), def_weights))
         if abs(float(w.sum()) - 1.0) > 1e-5:
             raise ValueError("mode_weights must sum to 1.0")
         if scaling:
@@ -134,13 +133,13 @@ class RoughCarpet(TargetMixin):
                             else mode_centers, default_float())
         w = jnp.asarray([0.5, 0.3, 0.2] if mode_weights is None
                         else mode_weights, default_float())
-        # by-value default detection (see ThreeMixture.create)
-        default = bool(np.allclose(np.asarray(modes), [-5.0, 0.0, 5.0])
-                       and np.allclose(np.asarray(w), [0.5, 0.3, 0.2]))
         if modes.shape != (3,):
             raise ValueError("mode_centers must contain exactly 3 scalar modes")
         if w.shape != (3,):
             raise ValueError("mode_weights must contain exactly 3 weights")
+        # by-value default detection (see ThreeMixture.create)
+        default = bool(np.allclose(np.asarray(modes), [-5.0, 0.0, 5.0])
+                       and np.allclose(np.asarray(w), [0.5, 0.3, 0.2]))
         if abs(float(w.sum()) - 1.0) > 1e-5:
             raise ValueError("mode_weights must sum to 1.0")
         if scaling:

@@ -34,12 +34,13 @@ class DeviceTimer:
     def run(self, fn: Callable, *args, **kwargs):
         t0 = time.time()
         out = fn(*args, **kwargs)
-        _force(out)
+        force(out)
         self.elapsed = time.time() - t0
         return out
 
 
-def _force(tree):
+def force(tree):
+    """Force completion of device work with a scalar fetch (public alias)."""
     leaves = [l for l in jax.tree_util.tree_leaves(tree)
               if isinstance(l, jax.Array)]
     if leaves:

@@ -16,11 +16,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def measure(run, key):
     import jax
-    run(key)                       # compile + warm
+
+    from rwm_pt_tpu.utils import force
+    force(run(key))                # compile + warm
     best = float("inf")
     for i in (1, 2):
         t0 = time.time()
-        run(jax.random.fold_in(key, i))
+        force(run(jax.random.fold_in(key, i)))
         best = min(best, time.time() - t0)
     return best
 
@@ -59,37 +61,33 @@ def main(argv=None):
                     from rwm_pt_tpu.kernels import run_pt
 
                     def run(k):
-                        r = run_pt(target, prop, k, betas, num_chains=C,
-                                   num_iterations=args.iters, burn_in=0,
-                                   swap_every=100)
-                        jnp.sum(r.state.logp).item()
+                        return run_pt(target, prop, k, betas, num_chains=C,
+                                      num_iterations=args.iters, burn_in=0,
+                                      swap_every=100)
                 else:
                     from rwm_pt_tpu.kernels import run_pt_pallas
 
                     def run(k):
-                        r = run_pt_pallas(target, k, betas, base_variance=var,
-                                          num_chains=C,
-                                          num_iterations=args.iters, burn_in=0,
-                                          swap_every=100)
-                        jnp.sum(r.state.logp).item()
+                        return run_pt_pallas(target, k, betas,
+                                             base_variance=var, num_chains=C,
+                                             num_iterations=args.iters,
+                                             burn_in=0, swap_every=100)
             else:
                 steps = args.iters * C
                 if args.scan:
                     from rwm_pt_tpu.kernels import run_rwm
 
                     def run(k):
-                        r = run_rwm(target, prop, k, num_chains=C,
-                                    num_iterations=args.iters, burn_in=0)
-                        jnp.sum(r.state.logp).item()
+                        return run_rwm(target, prop, k, num_chains=C,
+                                       num_iterations=args.iters, burn_in=0)
                 else:
                     from rwm_pt_tpu.kernels import run_rwm_pallas
 
                     def run(k):
-                        r = run_rwm_pallas(target, k, base_variance=var,
-                                           num_chains=C,
-                                           num_iterations=args.iters,
-                                           burn_in=0)
-                        jnp.sum(r.state.logp).item()
+                        return run_rwm_pallas(target, k, base_variance=var,
+                                              num_chains=C,
+                                              num_iterations=args.iters,
+                                              burn_in=0)
             dt = measure(run, key)
             rate = steps / dt
             rows.append({"dim": dim, "chains": C, "steps_per_sec": rate,
