@@ -164,3 +164,24 @@ def test_pt_determinism(key):
     r2 = run_pt(tgt, prop, key, betas, num_chains=4, num_iterations=100,
                 burn_in=10, swap_every=5)
     np.testing.assert_array_equal(np.asarray(r1.state.x), np.asarray(r2.state.x))
+
+
+def test_cold_chain_mode_occupancy(key):
+    """PT on the 3-mode mixture: the cold chain must visit all modes with
+    roughly equal occupancy (the capability PT exists for; plain RWM stays
+    trapped — see test_multimodal_mixing_beats_rwm)."""
+    from rwm_pt_tpu.targets import ThreeMixture
+
+    target = ThreeMixture.create(2)
+    prop = NormalProposal.create(2, 2.38 ** 2 / 2)
+    betas = jnp.geomspace(1.0, 0.01, 8).astype(jnp.float32)
+    res = run_pt(target, prop, key, betas, num_chains=64,
+                 num_iterations=4000, burn_in=500, swap_every=10,
+                 record_every=10, record_chains=64)
+    chain = np.asarray(res.chain)          # (n_rec, d, 64) cold-rung states
+    x0 = chain[:, 0, :].ravel()            # first coordinate separates modes
+    occ = np.array([(x0 < -2.5).mean(),
+                    ((x0 >= -2.5) & (x0 <= 2.5)).mean(),
+                    (x0 > 2.5).mean()])
+    # equal 1/3 weights; generous band for finite-sample + burn-in effects
+    assert occ.min() > 0.15 and occ.max() < 0.55, occ
