@@ -158,8 +158,8 @@ class MCMCSimulation:
 
         self.mesh = make_mesh() if use_mesh else None
         # engine selection: the Pallas VMEM-resident kernel is ~1.5x (RWM) to
-        # ~5x (PT) faster on TPU but supports only the Normal proposal and no
-        # trace recording; 'auto' picks it when eligible.
+        # ~5x (PT) faster on TPU but does no trace recording or sharding;
+        # 'auto' picks it when eligible.
         if engine not in ("auto", "pallas", "scan"):
             raise ValueError("engine must be 'auto', 'pallas', or 'scan'")
         self.engine = engine
@@ -174,7 +174,8 @@ class MCMCSimulation:
         # Mosaic compiler (multi-minute/hanging pallas compiles); auto mode
         # keeps it on the scan engine.  engine='pallas' still forces it.
         slow_compile = "SuperFunnel" in self.target_dist.get_name()
-        eligible = (self.proposal_config.get("name") == "Normal"
+        eligible = (self.proposal_config.get("name") in
+                    ("Normal", "Laplace", "UniformRadius")
                     and not self.record_chain and self.mesh is None
                     and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
@@ -184,9 +185,9 @@ class MCMCSimulation:
         if self.engine == "pallas":
             if not eligible:
                 raise ValueError(
-                    "engine='pallas' requires the Normal proposal, "
-                    "record_chain=False, no mesh, the TPU backend, and "
-                    "float32 (x64 disabled)")
+                    "engine='pallas' requires a library proposal (Normal/"
+                    "Laplace/UniformRadius), record_chain=False, no mesh, "
+                    "the TPU backend, and float32 (x64 disabled)")
             return True
         return eligible
 
@@ -225,17 +226,16 @@ class MCMCSimulation:
         init_states = self._init_states()
         if self._use_pallas():
             from ..kernels import run_pt_pallas, run_rwm_pallas
-            base_var = self.proposal_config["params"]["base_variance_scalar"]
             if self.is_pt:
                 res = run_pt_pallas(
                     self.target_dist, self.key,
                     jnp.asarray(self.beta_ladder, default_float()),
-                    base_variance=base_var, num_chains=self.num_chains,
+                    proposal=self.proposal_dist, num_chains=self.num_chains,
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
                     swap_every=self.swap_every, init_states=init_states)
             else:
                 res = run_rwm_pallas(
-                    self.target_dist, self.key, base_variance=base_var,
+                    self.target_dist, self.key, proposal=self.proposal_dist,
                     num_chains=self.num_chains,
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
                     init_states=init_states)

@@ -23,19 +23,34 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .pallas_rwm import _flatten_params, _normal, _uniform
+from .pallas_rwm import (_flatten_params, _laplace, _normal, _proposal_kind,
+                         _uniform, _uniform_ball)
 from .pt import PTResult, PTState
 
 
 def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
-                 burn_in: int, swap_every: int, dim: int, T: int):
+                 burn_in: int, swap_every: int, dim: int, T: int,
+                 kind: str = "Normal"):
     def kernel(seed_ref, stds_ref, betas_ref, *refs):
         param_refs = refs[:n_params]
+        if kind == "Laplace":
+            # per-rung (d, 1) Laplace scales travel as a (T, d, 1) VMEM input
+            pscale_ref = refs[n_params]
+            rest = refs[n_params + 1:]
+        else:
+            pscale_ref = None
+            rest = refs[n_params:]
         (x_ref, x_out_ref, lp_out_ref, acc_ref, swapacc_ref, betajump_ref,
-         coldjump_ref) = refs[n_params:]
+         coldjump_ref) = rest
         leaves = [param_refs[i][:].reshape(shapes[i]) for i in range(n_params)]
         target = jax.tree_util.tree_unflatten(treedef, leaves)
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        if kind == "Normal":
+            draw_inc = lambda t, shape: _normal(shape) * stds_ref[t]
+        elif kind == "Laplace":
+            draw_inc = lambda t, shape: _laplace(shape, pscale_ref[t])
+        else:  # UniformRadius: stds_ref holds per-rung effective radii
+            draw_inc = lambda t, shape: _uniform_ball(shape, stds_ref[t])
 
         # carry per-rung arrays as tuples: functional row updates via .at[]
         # would lower to scatter, which Mosaic does not implement
@@ -56,7 +71,7 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
 
             # ---- MH phase: every rung (unrolled over the T static rungs) ---
             for t in range(T):
-                eps = _normal((dim, B)) * stds_ref[t]
+                eps = draw_inc(t, (dim, B))
                 prop = x[t] + eps
                 lp_prop = target.log_density_td(prop)[None, :]   # (1, B)
                 log_ratio = betas_ref[t] * (lp_prop - lp[t])
@@ -111,14 +126,21 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
                      "block"))
-def run_pt_pallas(target: Any, key, betas, *, base_variance: float,
+def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
                   num_chains: int, num_iterations: int, burn_in: int = 0,
                   swap_every: int = 100, init_states=None,
-                  block: int = 2048) -> PTResult:
-    """Pallas-fused PT run (Normal proposal).  Metrics contract matches
+                  proposal: Any = None, block: int = 2048) -> PTResult:
+    """Pallas-fused PT run.  Metrics contract matches
     :func:`rwm_pt_tpu.kernels.run_pt`; per-rung MH acceptance is tracked for
-    the cold rung only (rung 0) to keep the accumulator footprint small."""
+    the cold rung only (rung 0) to keep the accumulator footprint small.
+
+    ``proposal``: any of the three library proposals; the ``base_variance``
+    shorthand means a Normal proposal (like the reference's PT path,
+    pt_rwm_gpu_optimized.py:446-455)."""
     dim = target.dim
+    kind = "Normal" if proposal is None else _proposal_kind(proposal)
+    if proposal is None and base_variance is None:
+        raise ValueError("pass either base_variance or a proposal")
     T = int(betas.shape[0]) if hasattr(betas, "shape") else len(betas)
     betas = jnp.asarray(betas, jnp.float32)
     # VMEM: ~ (4*T + 14) live (dim, block) f32 arrays (carry is
@@ -141,16 +163,31 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float,
 
     seed = jax.random.randint(jax.random.fold_in(key, 0x5EED), (1,),
                               0, np.iinfo(np.int32).max, dtype=jnp.int32)
-    stds = jnp.sqrt(jnp.asarray(base_variance, jnp.float32) / betas)
+    # per-rung effective scales (variance/beta for Normal & Laplace,
+    # radius/sqrt(beta) for UniformRadius — reference scaling laws)
+    extra_inputs, extra_specs = [], []
+    if kind == "Normal":
+        stds = jnp.sqrt(jnp.asarray(base_variance if proposal is None
+                                    else proposal.base_variance_scalar,
+                                    jnp.float32) / betas)
+    elif kind == "UniformRadius":
+        stds = jnp.asarray(proposal.base_radius, jnp.float32) / jnp.sqrt(betas)
+    else:  # Laplace: (T, d, 1) per-rung scale tensor
+        stds = jnp.ones_like(betas)
+        lap = jnp.sqrt(
+            jnp.asarray(proposal.base_variance_vector, jnp.float32)[None, :]
+            / betas[:, None] / 2.0).reshape(T, dim, 1)
+        extra_inputs = [lap]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
 
     flat_params, treedef, shapes = _flatten_params(target)
     kernel = _make_kernel(treedef, shapes, len(flat_params), total, burn_in,
-                          swap_every, dim, T)
+                          swap_every, dim, T, kind)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_params]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,        # seed, stds, betas
         grid=(n_blocks,),
-        in_specs=param_specs + [
+        in_specs=param_specs + extra_specs + [
             pl.BlockSpec((T, dim, block), lambda i, *_: (0, 0, i),
                          memory_space=pltpu.VMEM)],
         out_specs=[
@@ -172,7 +209,7 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float,
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
         ],
-    )(seed, stds, betas, *flat_params, x0)
+    )(seed, stds, betas, *flat_params, *extra_inputs, x0)
 
     n = jnp.float32(num_iterations)
     # swap events: steps s in (burn_in, total] with s % swap_every == 0

@@ -17,9 +17,10 @@ fused across *steps*, which the reference explicitly could not do
 one chain in time, but the whole loop can still live on-chip).
 
 Works for any target whose ``log_density_td`` uses only elementwise ops and
-axis-0 reductions (all 13 library targets).  Only the Normal proposal is
-supported here (the reference's PT/GPU path is Normal-only as well); other
-proposals use the scan kernel.
+axis-0 reductions (all 13 library targets).  All three reference proposals are
+supported — Normal, Laplace and UniformRadius (the reference's TorchScript
+sampler kernels, proposal_distributions/{normal,laplace,uniform}.py:46-101) —
+drawn on-chip from the hardware PRNG.
 """
 from __future__ import annotations
 
@@ -63,6 +64,34 @@ def _normal(shape):
     return z[:d]
 
 
+def _laplace(shape, scale):
+    """Per-dimension Laplace increments via the reference's inverse CDF
+    ``X = -scale * sign(U) * log1p(max(-2|U|, -0.999999))``
+    (proposal_distributions/laplace.py:46-69); U ~ U(-0.5, 0.5)."""
+    u = _uniform(shape) - 0.5
+    clamped = jnp.maximum(-2.0 * jnp.abs(u), -0.999999)
+    return -scale * jnp.sign(u) * jnp.log1p(clamped)
+
+
+def _uniform_ball(shape, radius):
+    """Uniform increments in the ``radius``-ball: Gaussian direction / norm,
+    radius ``R * U^(1/d)`` (proposal_distributions/uniform.py:47-73).
+    ``U^(1/d)`` is computed as ``exp(log(U)/d)`` — exact incl. U=0 -> 0."""
+    d = shape[0]
+    dirs = _normal(shape)
+    norms = jnp.sqrt(jnp.sum(dirs * dirs, axis=0, keepdims=True))
+    dirs = dirs / jnp.maximum(norms, 1e-12)
+    u = _uniform((1,) + tuple(shape[1:]))
+    return dirs * (radius * jnp.exp(jnp.log(u) * (1.0 / d)))
+
+
+def _proposal_kind(proposal) -> str:
+    kind = getattr(proposal, "name", "Normal")
+    if kind not in ("Normal", "Laplace", "UniformRadius"):
+        raise ValueError(f"Pallas engine: unsupported proposal '{kind}'")
+    return kind
+
+
 def _flatten_params(target):
     """Split a target into (array leaves reshaped 2-D, treedef, orig shapes).
 
@@ -79,17 +108,31 @@ def _flatten_params(target):
 
 
 def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
-                 burn_in: int, dim: int):
+                 burn_in: int, dim: int, kind: str = "Normal"):
     def kernel(seed_ref, scale_ref, *refs):
         param_refs = refs[:n_params]
-        x_ref, x_out_ref, lp_out_ref, acc_ref, jump_ref = refs[n_params:]
+        if kind == "Laplace":
+            # per-dimension Laplace scale travels as a (d, 1) VMEM input
+            pscale_ref = refs[n_params]
+            rest = refs[n_params + 1:]
+        else:
+            pscale_ref = None
+            rest = refs[n_params:]
+        x_ref, x_out_ref, lp_out_ref, acc_ref, jump_ref = rest
         leaves = [param_refs[i][:].reshape(shapes[i])
                   for i in range(n_params)]
         target = jax.tree_util.tree_unflatten(treedef, leaves)
         # distinct stream per chain block
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
-        std = scale_ref[0]    # effective proposal std (already beta-scaled)
+        std = scale_ref[0]    # effective std (Normal) / radius (UniformRadius)
         beta = scale_ref[1]
+        if kind == "Normal":
+            draw_inc = lambda shape: _normal(shape) * std
+        elif kind == "Laplace":
+            lap_scale = pscale_ref[:]                     # (d, 1)
+            draw_inc = lambda shape: _laplace(shape, lap_scale)
+        else:  # UniformRadius
+            draw_inc = lambda shape: _uniform_ball(shape, std)
         x0 = x_ref[:]
         lp0 = target.log_density_td(x0)[None, :]          # (1, BLOCK)
         zeros = jnp.zeros_like(lp0)
@@ -100,7 +143,7 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
             # accepts); jump uses Kahan compensation (jc) so 1e8-step sums
             # don't lose small increments once the running total grows
             x, lp, acc, jump, jc = carry
-            eps = _normal(x.shape) * std
+            eps = draw_inc(x.shape)
             prop = x + eps
             lp_prop = target.log_density_td(prop)[None, :]
             log_ratio = beta * (lp_prop - lp)
@@ -130,16 +173,21 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "block",
                      "interpret"))
-def run_rwm_pallas(target: Any, key, *, base_variance: float,
+def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
                    num_chains: int, num_iterations: int, burn_in: int = 0,
                    beta: float = 1.0, init_states=None, block: int = 1024,
-                   interpret: bool = False) -> RWMResult:
+                   proposal: Any = None, interpret: bool = False) -> RWMResult:
     """Pallas-fused RWM run.  Same metrics contract as ``run_rwm``.
 
-    ``base_variance`` is the Normal proposal's base variance; effective std is
+    ``proposal`` may be any of the three library proposals (Normal / Laplace /
+    UniformRadius) with the reference's beta-scaling laws.  The back-compat
+    ``base_variance`` shorthand means a Normal proposal with effective std
     ``sqrt(base_variance / beta)`` (reference normal.py:27-33).
     """
     dim = target.dim
+    kind = "Normal" if proposal is None else _proposal_kind(proposal)
+    if proposal is None and base_variance is None:
+        raise ValueError("pass either base_variance or a proposal")
     # cap the block so ~11 live (dim, block) f32 arrays fit the 16MB VMEM
     # budget (measured: blk=16384 at d=30 needs 21MB and OOMs)
     vmem_cap = max(128, int(14e6 / (44 * dim)) // 128 * 128)
@@ -161,17 +209,31 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float,
     seed = jax.random.randint(jax.random.fold_in(key, 0x5EED), (1,),
                               0, np.iinfo(np.int32).max, dtype=jnp.int32)
     beta_arr = jnp.asarray(beta, jnp.float32)
-    scale = jnp.stack([jnp.sqrt(jnp.asarray(base_variance, jnp.float32)
-                                / beta_arr), beta_arr])
+    # per-kind effective scale (the reference's beta laws: variance/beta for
+    # Normal & Laplace, radius/sqrt(beta) for UniformRadius)
+    extra_inputs, extra_specs = [], []
+    if kind == "Normal":
+        s = jnp.sqrt(jnp.asarray(base_variance if proposal is None
+                                 else proposal.base_variance_scalar,
+                                 jnp.float32) / beta_arr)
+    elif kind == "UniformRadius":
+        s = jnp.asarray(proposal.base_radius, jnp.float32) / jnp.sqrt(beta_arr)
+    else:  # Laplace: (d,) scale vector as a replicated (d, 1) VMEM input
+        s = jnp.float32(1.0)
+        lap = jnp.sqrt(jnp.asarray(proposal.base_variance_vector, jnp.float32)
+                       / beta_arr / 2.0).reshape(dim, 1)
+        extra_inputs = [lap]
+        extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
+    scale = jnp.stack([s, beta_arr])
 
     flat_params, treedef, shapes = _flatten_params(target)
     kernel = _make_kernel(treedef, shapes, len(flat_params), total, burn_in,
-                          dim)
+                          dim, kind)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_params]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,        # seed, scale
         grid=(n_blocks,),
-        in_specs=param_specs + [
+        in_specs=param_specs + extra_specs + [
             pl.BlockSpec((dim, block), lambda i, *_: (0, i),
                          memory_space=pltpu.VMEM)],
         out_specs=[
@@ -196,7 +258,7 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float,
         ],
         # the TPU-semantics interpreter (supports pltpu.prng_*) for CPU tests
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, scale, *flat_params, x0)
+    )(seed, scale, *flat_params, *extra_inputs, x0)
 
     n = jnp.float32(num_iterations)
     state = RWMState(x=x_f, logp=lp_f[0],
