@@ -211,16 +211,30 @@ class MCMCSimulation:
             x0 = shard_init_states(x0, self.mesh, pt=self.is_pt)
         return x0
 
-    def generate_samples(self, progress_bar: bool = False, verbose: bool = True):
+    def generate_samples(self, progress_bar: bool = False, verbose: bool = True,
+                         checkpoint_every: Optional[int] = None,
+                         checkpoint_path: Optional[str] = None):
         """Run the compiled sampler; returns the (cold-)chain of replica 0 as
         a ``(num_iterations, dim)`` array when recording is on, else ``None``.
 
         Burn-in handling matches the reference: the returned chain excludes
         the initial state and burn-in samples
         (rwm_gpu_optimized.py:475-488, pt_rwm_gpu_optimized.py:760-770).
+
+        ``checkpoint_every``/``checkpoint_path``: persist the full sampler
+        state to ``checkpoint_path`` every ``checkpoint_every`` post-burn-in
+        iterations, so a killed long run resumes from the last segment via
+        :meth:`resume` (fault tolerance for pod runs — SURVEY.md §5 lists
+        mid-run persistence as absent from the reference).  Segmentation is
+        *bitwise-free*: per-step randomness is keyed on the absolute step
+        counter, so a segmented run equals the uninterrupted run exactly.
+        Requires ``record_chain=False`` and the scan engine.
         """
         if self.has_run():
             raise ValueError("Please reset the algorithm before running it again.")
+        if checkpoint_every:
+            return self._generate_samples_checkpointed(
+                checkpoint_every, checkpoint_path, verbose)
         start = time.time()
         rec = self.record_every if self.record_chain else None
         init_states = self._init_states()
@@ -274,6 +288,60 @@ class MCMCSimulation:
                   f"chains in {self._elapsed:.2f} seconds "
                   f"({total_steps / self._elapsed:,.0f} MH steps/s)")
         return self._chain_np
+
+    def _generate_samples_checkpointed(self, checkpoint_every: int,
+                                       checkpoint_path: Optional[str],
+                                       verbose: bool):
+        """Segmented run with a checkpoint written after every segment.
+
+        The kernels derive per-step keys by folding the absolute step counter
+        (kernels/rwm.py:129-133), so passing the same base key to every
+        segment continues the stream exactly where the previous segment left
+        it — segment boundaries do not perturb the trajectory."""
+        if checkpoint_path is None:
+            raise ValueError("checkpoint_every requires checkpoint_path")
+        if self.record_chain:
+            raise ValueError("periodic checkpointing requires "
+                             "record_chain=False (thinned traces cannot be "
+                             "stitched across segments)")
+        start = time.time()
+        state = None
+        done = 0
+        while done < self.num_iterations:
+            n = min(checkpoint_every, self.num_iterations - done)
+            if self.is_pt:
+                res = run_pt(self.target_dist, self.proposal_dist, self.key,
+                             jnp.asarray(self.beta_ladder, default_float()),
+                             num_chains=self.num_chains, num_iterations=n,
+                             burn_in=self.burn_in, swap_every=self.swap_every,
+                             cpu_semantics=self.cpu_semantics,
+                             init_states=(self._init_states() if state is None
+                                          else None),
+                             resume_state=state)
+            else:
+                res = run_rwm(self.target_dist, self.proposal_dist, self.key,
+                              num_chains=self.num_chains, num_iterations=n,
+                              burn_in=self.burn_in,
+                              init_states=(self._init_states() if state is None
+                                           else None),
+                              resume_state=state)
+            res = jax.block_until_ready(res)
+            state = res.state
+            done += n
+            self._write_state(state, checkpoint_path)
+            if verbose:
+                print(f"  checkpoint @ {done}/{self.num_iterations} "
+                      f"iterations -> {checkpoint_path}")
+        self._result = res
+        self._elapsed = time.time() - start
+        if verbose:
+            total_steps = (self.burn_in + self.num_iterations) * self.num_chains
+            if self.is_pt:
+                total_steps *= len(self.beta_ladder)
+            print(f"Drew {self.num_iterations} samples x {self.num_chains} "
+                  f"chains in {self._elapsed:.2f} seconds "
+                  f"({total_steps / self._elapsed:,.0f} MH steps/s)")
+        return None
 
     # ----------------------------------------------------------- diagnostics
     def _require_run(self):
@@ -350,11 +418,7 @@ class MCMCSimulation:
         return info
 
     # ----------------------------------------------------------- persistence
-    def save_checkpoint(self, path: str):
-        """Persist final sampler state + step + metrics (capability absent
-        from the reference — SURVEY.md §5 'Checkpoint / resume: none')."""
-        self._require_run()
-        state = self._result.state
+    def _write_state(self, state, path: str):
         flat, _ = jax.tree_util.tree_flatten(state)
         os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
         # np.savez appends '.npz' itself when missing; normalize so
@@ -371,6 +435,12 @@ class MCMCSimulation:
                      "beta_ladder": (list(map(float, self.beta_ladder))
                                      if self.beta_ladder else None),
                  }))
+
+    def save_checkpoint(self, path: str):
+        """Persist final sampler state + step + metrics (capability absent
+        from the reference — SURVEY.md §5 'Checkpoint / resume: none')."""
+        self._require_run()
+        self._write_state(self._result.state, path)
 
     def load_checkpoint(self, path: str):
         if not os.path.exists(path) and not path.endswith(".npz"):

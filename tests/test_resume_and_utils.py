@@ -154,3 +154,65 @@ def test_cpu_semantics_acceptance_normalization(key):
     # every attempted MH move accepts; a mis-normalized rate would be ~0.75
     # for the cold rungs (1 - 1/swap_every)
     assert float(jnp.min(res.acceptance_rate)) > 0.99
+
+
+def test_periodic_checkpointing_matches_uninterrupted(tmp_path):
+    """Segmented runs (checkpoint_every) reproduce the uninterrupted run
+    bitwise: per-step keys are folded from the absolute step counter, so
+    segment boundaries never perturb the stream."""
+    kw = dict(dim=3, sigma=0.8, num_iterations=300, algorithm="RWM",
+              target_dist="MultivariateNormal", seed=5, burn_in=50,
+              num_chains=8, record_chain=False)
+    a = MCMCSimulation(**kw)
+    a.generate_samples(verbose=False)
+    b = MCMCSimulation(**kw)
+    out = b.generate_samples(verbose=False, checkpoint_every=120,
+                             checkpoint_path=str(tmp_path / "ck"))
+    assert out is None
+    assert (tmp_path / "ck.npz").exists()
+    np.testing.assert_array_equal(np.asarray(a._result.state.x),
+                                  np.asarray(b._result.state.x))
+    assert a.acceptance_rate() == b.acceptance_rate()
+
+
+def test_periodic_checkpointing_pt(tmp_path):
+    kw = dict(dim=2, sigma=1.0, num_iterations=200, algorithm="PT",
+              target_dist="MultivariateNormal", seed=7, burn_in=40,
+              num_chains=4, swap_every=10, record_chain=False)
+    a = MCMCSimulation(**kw)
+    a.generate_samples(verbose=False)
+    b = MCMCSimulation(**kw)
+    b.generate_samples(verbose=False, checkpoint_every=70,
+                       checkpoint_path=str(tmp_path / "pt_ck"))
+    np.testing.assert_array_equal(np.asarray(a._result.state.x),
+                                  np.asarray(b._result.state.x))
+    assert (a._result.state.swap_attempt_count
+            == b._result.state.swap_attempt_count)
+
+
+def test_periodic_checkpointing_resumable_after_kill(tmp_path):
+    """A run killed between segments continues from the last checkpoint and
+    lands on the same step count it would have reached."""
+    kw = dict(dim=3, sigma=0.8, num_iterations=100, algorithm="RWM",
+              target_dist="MultivariateNormal", seed=5, burn_in=20,
+              num_chains=8, record_chain=False)
+    partial = MCMCSimulation(**{**kw, "num_iterations": 60})
+    partial.generate_samples(verbose=False, checkpoint_every=60,
+                             checkpoint_path=str(tmp_path / "ck"))
+    survivor = MCMCSimulation(**kw)
+    res = survivor.resume(str(tmp_path / "ck.npz"), num_iterations=40)
+    assert int(res.state.step) == 20 + 100   # burn_in + all iterations
+
+
+def test_periodic_checkpointing_validation(tmp_path):
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=50,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         num_chains=2, record_chain=False)
+    with pytest.raises(ValueError, match="checkpoint_path"):
+        sim.generate_samples(verbose=False, checkpoint_every=10)
+    rec = MCMCSimulation(dim=2, sigma=1.0, num_iterations=50,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         num_chains=2, record_chain=True)
+    with pytest.raises(ValueError, match="record_chain"):
+        rec.generate_samples(verbose=False, checkpoint_every=10,
+                             checkpoint_path=str(tmp_path / "x"))
