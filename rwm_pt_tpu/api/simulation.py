@@ -70,6 +70,9 @@ class MCMCSimulation:
                  use_mesh: bool = False,
                  target_kwargs: Optional[dict] = None,
                  engine: str = "auto",
+                 autotune: bool = False,
+                 autotune_target: float = 0.234,
+                 autotune_every: int = 100,
                  **kwargs):
         # proposal resolution: sigma back-compat path (simulation_gpu.py:58-66)
         if proposal_config is None and sigma is not None:
@@ -144,6 +147,18 @@ class MCMCSimulation:
         else:
             self.beta_ladder = None
 
+        # burn-in proposal-scale autotuning to the optimal acceptance rate —
+        # replaces the reference's 40-point scale sweeps (kernels/adapt.py)
+        self.autotune = autotune
+        self.autotune_target = autotune_target
+        self.autotune_every = autotune_every
+        self._tuned = None
+        if autotune and record_chain:
+            raise ValueError("autotune=True requires record_chain=False "
+                             "(the adaptive kernels record no traces)")
+        if autotune:
+            record_chain = False
+
         # chain recording policy: record everything for small runs (parity
         # with the reference's materialized chains), auto-thin for large ones.
         n_total = (self.burn_in + num_iterations)
@@ -179,7 +194,8 @@ class MCMCSimulation:
                     and not self.record_chain and self.mesh is None
                     and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
-                    and not self.cpu_semantics)
+                    and not self.cpu_semantics
+                    and not self.autotune)
         if self.engine == "auto" and slow_compile:
             return False
         if self.engine == "pallas":
@@ -238,6 +254,34 @@ class MCMCSimulation:
         start = time.time()
         rec = self.record_every if self.record_chain else None
         init_states = self._init_states()
+        if self.autotune:
+            from ..kernels import run_pt_adaptive, run_rwm_adaptive
+            if self.is_pt:
+                tuned = run_pt_adaptive(
+                    self.target_dist, self.proposal_dist, self.key,
+                    jnp.asarray(self.beta_ladder, default_float()),
+                    num_chains=self.num_chains,
+                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    swap_every=self.swap_every,
+                    target_accept=self.autotune_target,
+                    adapt_every=self.autotune_every, init_states=init_states)
+            else:
+                tuned = run_rwm_adaptive(
+                    self.target_dist, self.proposal_dist, self.key,
+                    num_chains=self.num_chains,
+                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    target_accept=self.autotune_target,
+                    adapt_every=self.autotune_every, init_states=init_states)
+            tuned = jax.block_until_ready(tuned)
+            self._tuned = tuned
+            self._result = tuned.result
+            self._elapsed = time.time() - start
+            if verbose:
+                mult = np.asarray(tuned[1])
+                print(f"Autotuned proposal scale multiplier: "
+                      f"{np.array2string(mult, precision=3)} "
+                      f"(target acceptance {self.autotune_target})")
+            return None
         if self._use_pallas():
             from ..kernels import run_pt_pallas, run_rwm_pallas
             if self.is_pt:
@@ -300,6 +344,10 @@ class MCMCSimulation:
         it — segment boundaries do not perturb the trajectory."""
         if checkpoint_path is None:
             raise ValueError("checkpoint_every requires checkpoint_path")
+        if self.autotune:
+            raise ValueError("autotune and checkpoint_every cannot be "
+                             "combined (the adaptive kernels are not "
+                             "resumable mid-adaptation)")
         if self.record_chain:
             raise ValueError("periodic checkpointing requires "
                              "record_chain=False (thinned traces cannot be "
@@ -415,7 +463,36 @@ class MCMCSimulation:
                 "swap_acceptance_rate": self.swap_acceptance_rate(),
                 "pt_esjd": self.pt_expected_squared_jump_distance(),
             })
+        if self._tuned is not None:
+            mult = np.asarray(self._tuned[1])
+            info.update({
+                "autotune_target": self.autotune_target,
+                "tuned_scale_multiplier": (mult.tolist() if mult.ndim
+                                           else float(mult)),
+            })
         return info
+
+    def tuned_proposal_config(self) -> dict:
+        """The proposal config rescaled by the autotuned multiplier ``c`` —
+        pass it to a fresh ``MCMCSimulation`` to rerun at the tuned scale
+        (variance scales by c for Normal/Laplace, radius by sqrt(c))."""
+        if self._tuned is None:
+            raise ValueError("run generate_samples with autotune=True first")
+        c = np.asarray(self._tuned[1])
+        name = self.proposal_config["name"]
+        params = dict(self.proposal_config.get("params", {}))
+        c_cold = float(c if c.ndim == 0 else c[0])
+        if name == "Normal":
+            params["base_variance_scalar"] = (
+                float(params["base_variance_scalar"]) * c_cold)
+        elif name == "Laplace":
+            params["base_variance_vector"] = (
+                np.asarray(params["base_variance_vector"], float)
+                * c_cold).tolist()
+        else:  # UniformRadius
+            params["base_radius"] = (
+                float(params["base_radius"]) * float(np.sqrt(c_cold)))
+        return {"name": name, "params": params}
 
     # ----------------------------------------------------------- persistence
     def _write_state(self, state, path: str):

@@ -1,4 +1,6 @@
 """Fused sampler kernels (lax.scan + Pallas)."""
+from .adapt import (AdaptivePTResult, AdaptiveRWMResult, run_pt_adaptive,
+                    run_rwm_adaptive)
 from .pallas_pt import run_pt_pallas
 from .pallas_rwm import run_rwm_pallas
 from .pt import PTResult, PTState, pt_init, pt_step, run_pt
@@ -6,4 +8,6 @@ from .rwm import RWMResult, RWMState, run_rwm, rwm_init, rwm_step
 
 __all__ = ["RWMState", "RWMResult", "rwm_init", "rwm_step", "run_rwm",
            "PTState", "PTResult", "pt_init", "pt_step", "run_pt",
-           "run_rwm_pallas", "run_pt_pallas"]
+           "run_rwm_pallas", "run_pt_pallas",
+           "AdaptiveRWMResult", "AdaptivePTResult",
+           "run_rwm_adaptive", "run_pt_adaptive"]

@@ -1,0 +1,103 @@
+"""Adaptive proposal-scale tuning tests (kernels/adapt.py).
+
+The tuner must land the post-burn-in acceptance at the requested target from
+badly mis-scaled starting proposals — the capability that replaces the
+reference's 40-point scale sweeps (experiment_RWM_GPU.py:213-243).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rwm_pt_tpu.api import MCMCSimulation
+from rwm_pt_tpu.kernels import run_pt_adaptive, run_rwm_adaptive
+from rwm_pt_tpu.proposals import NormalProposal, UniformRadiusProposal
+from rwm_pt_tpu.targets import MultivariateNormal
+
+OPT_VAR = 2.38 ** 2 / 10  # near-optimal base variance for the 10-d MVN
+
+
+@pytest.mark.parametrize("mult", [1 / 100.0, 25.0])
+def test_rwm_autotune_converges_from_bad_scales(key, mult):
+    tgt = MultivariateNormal.create(10)
+    prop = NormalProposal.create(10, OPT_VAR * mult)
+    out = run_rwm_adaptive(tgt, prop, key, num_chains=256,
+                           num_iterations=2000, burn_in=3000,
+                           adapt_every=100)
+    acc = float(out.result.acceptance_rate.mean())
+    assert abs(acc - 0.234) < 0.04
+    # tuned effective variance should approximately undo the mis-scaling
+    eff = mult * float(out.tuned_scale_multiplier)
+    assert 0.3 < eff < 3.0
+
+
+def test_rwm_autotune_respects_custom_target(key):
+    tgt = MultivariateNormal.create(10)
+    prop = NormalProposal.create(10, OPT_VAR)
+    out = run_rwm_adaptive(tgt, prop, key, num_chains=256,
+                           num_iterations=2000, burn_in=3000,
+                           adapt_every=100, target_accept=0.5)
+    assert abs(float(out.result.acceptance_rate.mean()) - 0.5) < 0.05
+
+
+def test_rwm_autotune_post_phase_is_exact(key):
+    """Frozen adaptation: the post-burn-in phase must sample the target
+    exactly (moments of N(0, I))."""
+    tgt = MultivariateNormal.create(2)
+    prop = NormalProposal.create(2, 50.0)   # badly oversized
+    out = run_rwm_adaptive(tgt, prop, key, num_chains=512,
+                           num_iterations=4000, burn_in=3000,
+                           adapt_every=100)
+    x = np.asarray(out.result.state.x)       # (2, 512) final states
+    assert np.abs(x.mean()) < 0.15
+    assert abs(x.std() - 1.0) < 0.15
+
+
+def test_rwm_autotune_nonnormal_proposal(key):
+    tgt = MultivariateNormal.create(10)
+    prop = UniformRadiusProposal.create(10, 0.05)   # far too small
+    out = run_rwm_adaptive(tgt, prop, key, num_chains=256,
+                           num_iterations=2000, burn_in=3000,
+                           adapt_every=100)
+    assert abs(float(out.result.acceptance_rate.mean()) - 0.234) < 0.05
+
+
+def test_pt_autotune_per_rung(key):
+    tgt = MultivariateNormal.create(10)
+    prop = NormalProposal.create(10, OPT_VAR / 100.0)
+    betas = jnp.geomspace(1.0, 0.01, 6)
+    out = run_pt_adaptive(tgt, prop, key, betas, num_chains=128,
+                          num_iterations=2000, burn_in=3000, swap_every=20,
+                          adapt_every=100)
+    per_rung = np.asarray(out.result.acceptance_rate.mean(axis=1))
+    assert np.all(np.abs(per_rung - 0.234) < 0.05)
+    assert out.tuned_scale_multipliers.shape == (6,)
+    # the post-burn-in phase still swaps
+    assert float(out.result.swap_acceptance_rate.mean()) > 0.0
+
+
+def test_api_autotune_integration(key):
+    sim = MCMCSimulation(dim=10, sigma=OPT_VAR / 50.0, num_iterations=2000,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         num_chains=256, burn_in=3000, autotune=True)
+    out = sim.generate_samples(verbose=False)
+    assert out is None
+    assert abs(sim.acceptance_rate() - 0.234) < 0.05
+    info = sim.get_diagnostic_info()
+    assert info["autotune_target"] == 0.234
+    assert info["tuned_scale_multiplier"] > 1.0
+    cfg = sim.tuned_proposal_config()
+    assert cfg["params"]["base_variance_scalar"] > OPT_VAR / 50.0
+
+
+def test_api_autotune_validation():
+    with pytest.raises(ValueError, match="record_chain"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="RWM",
+                       target_dist="MultivariateNormal", autotune=True,
+                       record_chain=True)
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=50,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         num_chains=2, autotune=True)
+    with pytest.raises(ValueError, match="autotune and checkpoint_every"):
+        sim.generate_samples(verbose=False, checkpoint_every=10,
+                             checkpoint_path="/tmp/x")
