@@ -156,6 +156,18 @@ class MCMCSimulation:
         if autotune and record_chain:
             raise ValueError("autotune=True requires record_chain=False "
                              "(the adaptive kernels record no traces)")
+        if autotune and self.burn_in < autotune_every:
+            raise ValueError(
+                f"autotune=True needs burn_in >= autotune_every "
+                f"({autotune_every}) adaptation windows to run; got "
+                f"burn_in={self.burn_in}. Use burn_in of at least a few "
+                f"thousand steps so the recursion can converge.")
+        if autotune and cpu_semantics:
+            raise ValueError("autotune is not implemented for the CPU PT "
+                             "semantics path (cpu_semantics=True)")
+        if autotune and engine == "pallas":
+            raise ValueError("autotune runs on the scan engine; it cannot "
+                             "honor engine='pallas'")
         if autotune:
             record_chain = False
 
@@ -348,6 +360,11 @@ class MCMCSimulation:
             raise ValueError("autotune and checkpoint_every cannot be "
                              "combined (the adaptive kernels are not "
                              "resumable mid-adaptation)")
+        if self.engine == "pallas":
+            raise ValueError("periodic checkpointing runs on the scan "
+                             "engine; it cannot honor engine='pallas'")
+        if self.num_iterations <= 0:
+            raise ValueError("checkpoint_every requires num_iterations > 0")
         if self.record_chain:
             raise ValueError("periodic checkpointing requires "
                              "record_chain=False (thinned traces cannot be "
@@ -475,7 +492,13 @@ class MCMCSimulation:
     def tuned_proposal_config(self) -> dict:
         """The proposal config rescaled by the autotuned multiplier ``c`` —
         pass it to a fresh ``MCMCSimulation`` to rerun at the tuned scale
-        (variance scales by c for Normal/Laplace, radius by sqrt(c))."""
+        (variance scales by c for Normal/Laplace, radius by sqrt(c)).
+
+        PT caveat: the config schema holds one base scale, so this applies
+        the *cold-rung* multiplier only; hot rungs then revert to the
+        ``base/beta`` law.  The full per-rung vector is in
+        ``get_diagnostic_info()['tuned_scale_multiplier']`` — to reproduce
+        the fully tuned PT sampler, rerun with ``autotune=True``."""
         if self._tuned is None:
             raise ValueError("run generate_samples with autotune=True first")
         c = np.asarray(self._tuned[1])
@@ -502,6 +525,14 @@ class MCMCSimulation:
         # save_checkpoint(p) / resume(p) agree on the file name
         if not path.endswith(".npz"):
             path = path + ".npz"
+        # atomic replace: periodic checkpointing overwrites one file, and a
+        # kill mid-write (the exact event checkpoints exist for) must not
+        # destroy the previous good checkpoint
+        tmp = path + ".tmp.npz"
+        self._savez(tmp, flat)
+        os.replace(tmp, path)
+
+    def _savez(self, path, flat):
         np.savez(path, *[np.asarray(x) for x in flat],
                  meta=json.dumps({
                      "algorithm": self.algorithm_name,

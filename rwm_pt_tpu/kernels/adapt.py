@@ -31,8 +31,8 @@ import jax
 import jax.numpy as jnp
 
 from ..utils.dtypes import default_float
-from .pt import PTResult, _swap_phase, pt_init
-from .rwm import RWMResult, RWMState, rwm_init
+from .pt import PTResult, _mh_phase, _swap_phase, pt_init
+from .rwm import RWMResult, _rwm_step_core, rwm_init
 
 
 class AdaptiveRWMResult(NamedTuple):
@@ -75,28 +75,15 @@ def run_rwm_adaptive(target: Any, proposal: Any, key, *,
     beta = jnp.asarray(beta, default_float())
     k_init, k_run = jax.random.split(jax.random.fold_in(key, 0x414454))
     state = rwm_init(target, k_init, num_chains, init_states)
-    C = state.x.shape[1]
     total = burn_in + num_iterations
 
     def one_step(carry, t):
         st, log_c, win_acc, n_upd = carry
-        k_inc, k_u = jax.random.split(jax.random.fold_in(k_run, st.step))
-        c = jnp.exp(log_c)
-        inc = proposal.sample_td(k_inc, beta / c, (C,))
-        prop = st.x + inc
-        lp_prop = target.log_density_td(prop)
-        log_ratio = beta * (lp_prop - st.logp)
-        u = jax.random.uniform(k_u, (C,))
-        accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
-        x_new = jnp.where(accept[None, :], prop, st.x)
-        post = st.step + 1 > burn_in
-        jump = jnp.sum(jnp.square(x_new - st.x), axis=0)
-        st = RWMState(
-            x=x_new,
-            logp=jnp.where(accept, lp_prop, st.logp),
-            accept_count=st.accept_count + jnp.where(post, accept, False),
-            sum_sq_jump=st.sum_sq_jump + jnp.where(post, jump, 0.0),
-            step=st.step + 1)
+        # the canonical fused MH step (kernels/rwm.py) with only the
+        # increment draw rescaled by the current multiplier
+        st, accept = _rwm_step_core(
+            st, jax.random.fold_in(k_run, st.step), target, proposal, beta,
+            burn_in, beta_proposal=beta / jnp.exp(log_c))
         # ---- adaptation (burn-in only, every adapt_every steps) ----
         win_acc = win_acc + jnp.mean(accept.astype(default_float()))
         do_adapt = (st.step % adapt_every == 0) & (st.step <= burn_in)
@@ -149,26 +136,15 @@ def run_pt_adaptive(target: Any, proposal: Any, key, betas, *,
 
     def one_step(carry, t):
         st, log_c, win_acc, n_upd = carry
-        k_mh, k_u, k_swap = jax.random.split(
-            jax.random.fold_in(k_run, st.step), 3)
+        k_mh, k_swap = jax.random.split(jax.random.fold_in(k_run, st.step))
         step_counter = st.step + 1
         cold_before = st.x[:, 0, :]
-        C = st.logp.shape[1]
 
-        # MH phase at tuned per-rung scales (betas/c only shapes increments)
-        c = jnp.exp(log_c)                                    # (T,)
-        inc = proposal.sample_td(k_mh, betas / c, (T, C))     # (d, T, C)
-        prop = st.x + inc
-        lp_prop = target.log_density_td(prop)                 # (T, C)
-        log_ratio = betas[:, None] * (lp_prop - st.logp)
-        u = jax.random.uniform(k_u, (T, C))
-        accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
+        # the canonical fused MH phase (kernels/pt.py) at tuned per-rung
+        # scales — betas/c shapes only the increments, not the accept ratio
+        st, accept = _mh_phase(st, k_mh, target, proposal, betas, burn_in,
+                               betas_proposal=betas / jnp.exp(log_c))
         post = step_counter > burn_in
-        st = st.replace(
-            x=jnp.where(accept[None], prop, st.x),
-            logp=jnp.where(accept, lp_prop, st.logp),
-            accept_count=st.accept_count + jnp.where(post, accept, False))
-
         should_swap = (step_counter % swap_every == 0) & post
         st = jax.lax.cond(should_swap,
                           lambda s: _swap_phase(s, k_swap, betas),

@@ -144,8 +144,10 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
     T = int(betas.shape[0]) if hasattr(betas, "shape") else len(betas)
     betas = jnp.asarray(betas, jnp.float32)
     # VMEM: ~ (4*T + 14) live (dim, block) f32 arrays (carry is
-    # double-buffered through the fori_loop and the in/out tiles coexist)
-    vmem_cap = max(128, int(11e6 / ((4 * T + 14) * dim * 4)) // 128 * 128)
+    # double-buffered through the fori_loop and the in/out tiles coexist);
+    # Laplace/uniform-ball draws add 1-2 live temporaries per rung draw
+    live = (4 * T + 14) + {"Normal": 0, "Laplace": 2, "UniformRadius": 4}[kind]
+    vmem_cap = max(128, int(11e6 / (live * dim * 4)) // 128 * 128)
     block = min(block, vmem_cap, num_chains)
     if num_chains % block:
         block = int(np.gcd(num_chains, block)) or num_chains

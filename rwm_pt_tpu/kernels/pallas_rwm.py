@@ -189,8 +189,12 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
     if proposal is None and base_variance is None:
         raise ValueError("pass either base_variance or a proposal")
     # cap the block so ~11 live (dim, block) f32 arrays fit the 16MB VMEM
-    # budget (measured: blk=16384 at d=30 needs 21MB and OOMs)
-    vmem_cap = max(128, int(14e6 / (44 * dim)) // 128 * 128)
+    # budget (measured: blk=16384 at d=30 needs 21MB and OOMs).  The Laplace
+    # and uniform-ball draws keep 1-2 extra (dim, block) temporaries live
+    # (sign/dirs + Box-Muller intermediates), so their caps shrink.
+    bytes_per_lane = {"Normal": 44, "Laplace": 48,
+                      "UniformRadius": 56}[kind] * dim
+    vmem_cap = max(128, int(14e6 / bytes_per_lane) // 128 * 128)
     block = min(block, vmem_cap, num_chains)
     # gcd fallback: measured as fast as the largest-divisor search (at d=100
     # the kernel is bandwidth-bound, bigger tiles don't help) and compiles

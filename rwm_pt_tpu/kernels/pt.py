@@ -80,16 +80,22 @@ def pt_init(target, key, betas, num_chains: int, init_states=None) -> PTState:
 
 
 def _mh_phase(state: PTState, key, target, proposal, betas, burn_in,
-              rung_mask=None) -> PTState:
+              rung_mask=None, betas_proposal=None):
     """Batched MH move across (T, C) — the reference's fused parallel step
     (pt_rwm_gpu_optimized.py:61-84) plus increment generation (:576-592).
+    Returns ``(new_state, accept_mask)``.
 
     ``rung_mask``: optional (T,) bool — rungs where it is False keep their
     state (used by CPU semantics, where only the hottest rung moves on swap
-    steps, pt_rwm.py:169-184)."""
+    steps, pt_rwm.py:169-184).
+    ``betas_proposal``: optional (T,) — rescales only the increment draws
+    (the adaptive tuner's per-rung scale multipliers, kernels/adapt.py); the
+    accept ratio always uses the true ``betas``."""
     T, C = state.logp.shape
     k_inc, k_u = jax.random.split(key)
-    inc = proposal.sample_td(k_inc, betas, (T, C))          # (d, T, C)
+    inc = proposal.sample_td(
+        k_inc, betas if betas_proposal is None else betas_proposal,
+        (T, C))                                             # (d, T, C)
     prop = state.x + inc
     lp_prop = target.log_density_td(prop)                   # (T, C)
     log_ratio = betas[:, None] * (lp_prop - state.logp)
@@ -102,7 +108,7 @@ def _mh_phase(state: PTState, key, target, proposal, betas, burn_in,
     post = state.step + 1 > burn_in
     return state.replace(
         x=x_new, logp=lp_new,
-        accept_count=state.accept_count + jnp.where(post, accept, False))
+        accept_count=state.accept_count + jnp.where(post, accept, False)), accept
 
 
 def _swap_half_sweep(x, lp, key, betas, parity):
@@ -177,11 +183,11 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
             is_swap_step,
             lambda s: _mh_phase(_swap_phase(s, k_swap, betas), k_mh, target,
                                 proposal, betas, burn_in,
-                                rung_mask=last_only),
-            lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in),
+                                rung_mask=last_only)[0],
+            lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in)[0],
             state)
     else:
-        state = _mh_phase(state, k_mh, target, proposal, betas, burn_in)
+        state, _ = _mh_phase(state, k_mh, target, proposal, betas, burn_in)
         should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
         state = jax.lax.cond(should_swap,
                              lambda s: _swap_phase(s, k_swap, betas),

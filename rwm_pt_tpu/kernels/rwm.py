@@ -65,16 +65,18 @@ def rwm_init(target, key, num_chains: int, init_states=None) -> RWMState:
                     step=jnp.zeros((), jnp.int32))
 
 
-def rwm_step(state: RWMState, key, target, proposal, beta, burn_in) -> RWMState:
-    """One fused MH step for all chains.
+def _rwm_step_core(state: RWMState, key, target, proposal, beta, burn_in,
+                   beta_proposal=None):
+    """One fused MH step; returns ``(new_state, accept_mask)``.
 
-    Accept rule ``(r > 0) | (u < exp(r))`` with ``r = beta (logpi(y)-logpi(x))``
-    matches the reference kernel exactly (rwm_gpu_optimized.py:9-32); NaN from
-    (-inf) - (-inf) compares False on both sides => reject, like torch.
+    ``beta_proposal`` optionally rescales only the increment draw (used by
+    the adaptive tuner, kernels/adapt.py); the accept ratio always uses the
+    true ``beta``.
     """
     k_inc, k_u = jax.random.split(key)
     C = state.x.shape[1]
-    inc = proposal.sample_td(k_inc, beta, (C,))
+    inc = proposal.sample_td(
+        k_inc, beta if beta_proposal is None else beta_proposal, (C,))
     prop = state.x + inc
     lp_prop = target.log_density_td(prop)
     log_ratio = beta * (lp_prop - state.logp)
@@ -91,7 +93,17 @@ def rwm_step(state: RWMState, key, target, proposal, beta, burn_in) -> RWMState:
         x=x_new, logp=lp_new,
         accept_count=state.accept_count + jnp.where(post, accept, False),
         sum_sq_jump=state.sum_sq_jump + jnp.where(post, jump, 0.0),
-        step=state.step + 1)
+        step=state.step + 1), accept
+
+
+def rwm_step(state: RWMState, key, target, proposal, beta, burn_in) -> RWMState:
+    """One fused MH step for all chains.
+
+    Accept rule ``(r > 0) | (u < exp(r))`` with ``r = beta (logpi(y)-logpi(x))``
+    matches the reference kernel exactly (rwm_gpu_optimized.py:9-32); NaN from
+    (-inf) - (-inf) compares False on both sides => reject, like torch.
+    """
+    return _rwm_step_core(state, key, target, proposal, beta, burn_in)[0]
 
 
 @functools.partial(

@@ -94,10 +94,24 @@ def test_api_autotune_validation():
     with pytest.raises(ValueError, match="record_chain"):
         MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="RWM",
                        target_dist="MultivariateNormal", autotune=True,
-                       record_chain=True)
+                       burn_in=200, record_chain=True)
+    # too little burn-in for even one adaptation window
+    with pytest.raises(ValueError, match="burn_in"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="RWM",
+                       target_dist="MultivariateNormal", autotune=True)
+    # cpu_semantics path has no adaptive kernel
+    with pytest.raises(ValueError, match="cpu_semantics"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="PT",
+                       target_dist="MultivariateNormal", autotune=True,
+                       burn_in=200, cpu_semantics=True)
+    # an explicit pallas request cannot be honored by the scan-based tuner
+    with pytest.raises(ValueError, match="pallas"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="RWM",
+                       target_dist="MultivariateNormal", autotune=True,
+                       burn_in=200, engine="pallas")
     sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=50,
                          algorithm="RWM", target_dist="MultivariateNormal",
-                         num_chains=2, autotune=True)
+                         num_chains=2, burn_in=200, autotune=True)
     with pytest.raises(ValueError, match="autotune and checkpoint_every"):
         sim.generate_samples(verbose=False, checkpoint_every=10,
                              checkpoint_path="/tmp/x")

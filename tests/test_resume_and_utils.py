@@ -216,3 +216,43 @@ def test_periodic_checkpointing_validation(tmp_path):
     with pytest.raises(ValueError, match="record_chain"):
         rec.generate_samples(verbose=False, checkpoint_every=10,
                              checkpoint_path=str(tmp_path / "x"))
+
+
+def test_checkpoint_write_is_atomic(tmp_path, monkeypatch):
+    """A crash mid-checkpoint-write must not destroy the previous good
+    checkpoint: writes go to a temp file and os.replace over the target."""
+    kw = dict(dim=2, sigma=1.0, num_iterations=40, algorithm="RWM",
+              target_dist="MultivariateNormal", seed=1, burn_in=10,
+              num_chains=4, record_chain=False)
+    path = str(tmp_path / "ck")
+    sim = MCMCSimulation(**kw)
+    sim.generate_samples(verbose=False, checkpoint_every=20,
+                         checkpoint_path=path)
+    good = (tmp_path / "ck.npz").read_bytes()
+
+    # simulate a kill inside the savez of the *next* write
+    sim2 = MCMCSimulation(**kw)
+
+    def boom(path_, flat):
+        open(path_, "wb").write(b"partial garbage")
+        raise KeyboardInterrupt
+
+    monkeypatch.setattr(MCMCSimulation, "_savez",
+                        lambda self, p, f: boom(p, f))
+    with pytest.raises(KeyboardInterrupt):
+        sim2.generate_samples(verbose=False, checkpoint_every=20,
+                              checkpoint_path=path)
+    # the last good checkpoint survives untouched and still loads
+    assert (tmp_path / "ck.npz").read_bytes() == good
+    survivor = MCMCSimulation(**kw)
+    res = survivor.resume(path + ".npz", num_iterations=5)
+    assert int(res.state.step) == 10 + 40 + 5
+
+
+def test_checkpointed_zero_iterations_rejected():
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=0, algorithm="RWM",
+                         target_dist="MultivariateNormal", num_chains=2,
+                         record_chain=False)
+    with pytest.raises(ValueError, match="num_iterations"):
+        sim.generate_samples(verbose=False, checkpoint_every=10,
+                             checkpoint_path="/tmp/zz")
