@@ -21,7 +21,8 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                           burn_in, proposal_name="Normal", algorithm="RWM",
                           num_chains=8, swap_every=100, output_dir="data",
                           images_dir="images", make_plots=True,
-                          use_mesh=False, rng_impl="threefry2x32", **kwargs):
+                          use_mesh=False, rng_impl="threefry2x32",
+                          autotune=False, **kwargs):
     import jax
     import jax.numpy as jnp
     from ..api import MCMCSimulation
@@ -37,8 +38,8 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                          burn_in=burn_in, num_chains=num_chains,
                          swap_every=swap_every,
                          geom_temp_spacing=(algorithm.upper() == "PT"),
-                         record_chain=True, use_mesh=use_mesh,
-                         rng_impl=rng_impl)
+                         record_chain=not autotune, use_mesh=use_mesh,
+                         rng_impl=rng_impl, autotune=autotune)
     t0 = time.time()
     chain = sim.generate_samples()
     elapsed = time.time() - t0
@@ -59,6 +60,12 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
     if sim.is_pt:
         data["pt_esjd"] = sim.pt_expected_squared_jump_distance()
         data["beta_ladder"] = list(map(float, sim.beta_ladder))
+    if autotune:
+        info = sim.get_diagnostic_info()
+        data["autotune_target"] = info["autotune_target"]
+        data["tuned_scale_multiplier"] = info["tuned_scale_multiplier"]
+        data["tuned_proposal_config"] = sim.tuned_proposal_config()
+        print(f"   Tuned proposal config: {data['tuned_proposal_config']}")
 
     filename = (f"{output_dir}/{target_name}_single_run_{sim.algorithm_name}_"
                 f"dim{actual_dim}_{num_iters}iters_seed{seed}.json")
@@ -103,6 +110,11 @@ def main(argv=None):
                         choices=["RWM", "PT"])
     parser.add_argument("--swap_every", type=int, default=100)
     parser.add_argument("--no_plots", action="store_true")
+    parser.add_argument("--autotune", action="store_true",
+                        help="tune the proposal scale to the 0.234-optimal "
+                             "acceptance during burn-in instead of using "
+                             "--scale_param as-is (disables chain recording/"
+                             "plots; needs --burn_in of a few thousand)")
     args = parser.parse_args(argv)
     configure_backend(args)
 
@@ -113,8 +125,9 @@ def main(argv=None):
                           swap_every=args.swap_every,
                           output_dir=args.output_dir,
                           images_dir=args.images_dir,
-                          make_plots=not args.no_plots,
+                          make_plots=not args.no_plots and not args.autotune,
                           use_mesh=args.use_mesh, rng_impl=args.rng,
+                          autotune=args.autotune,
                           **target_kwargs_from_args(args))
 
 
