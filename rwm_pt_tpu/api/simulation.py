@@ -67,6 +67,7 @@ class MCMCSimulation:
                  iterative_fail_tol_factor: float = 3.0,
                  record_chain: Optional[bool] = None,
                  record_every: Optional[int] = None,
+                 record_chains: int = 1,
                  use_mesh: bool = False,
                  target_kwargs: Optional[dict] = None,
                  engine: str = "auto",
@@ -182,6 +183,12 @@ class MCMCSimulation:
             if record_chain and n_total * dim > _RECORD_LIMIT:
                 record_every = max(1, (n_total * dim) // _RECORD_LIMIT)
         self.record_every = record_every
+        # how many of the vectorized replicas get their (cold-)trace recorded;
+        # >1 enables the cross-chain diagnostics (split_rhat / ESS)
+        if not 1 <= record_chains <= num_chains:
+            raise ValueError(f"record_chains must be in [1, num_chains"
+                             f"={num_chains}], got {record_chains}")
+        self.record_chains = record_chains
 
         self.mesh = make_mesh() if use_mesh else None
         # engine selection: the Pallas VMEM-resident kernel is ~1.5x (RWM) to
@@ -317,13 +324,13 @@ class MCMCSimulation:
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
                          init_states=init_states,
-                         record_every=rec, record_chains=1)
+                         record_every=rec, record_chains=self.record_chains)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                           num_chains=self.num_chains,
                           num_iterations=self.num_iterations,
                           burn_in=self.burn_in, init_states=init_states,
-                          record_every=rec, record_chains=1)
+                          record_every=rec, record_chains=self.record_chains)
         res = jax.block_until_ready(res)
         self._elapsed = time.time() - start
         self._result = res
@@ -604,6 +611,44 @@ class MCMCSimulation:
             raise ValueError("Chain recording was disabled for this run "
                              "(record_chain=False).")
         return self._chain_np
+
+    def _get_chains_3d(self) -> np.ndarray:
+        """Recorded post-burn-in traces as ``(n_rec, dim, record_chains)``."""
+        self._require_run()
+        res = self._result
+        if res is None or getattr(res, "chain", None) is None:
+            raise ValueError("Chain recording was disabled for this run "
+                             "(record_chain=False).")
+        rec = self.record_every or 1
+        return np.asarray(res.chain)[self.burn_in // rec:]
+
+    # -------------------------------------------------------- diagnostics
+    # Cross-chain convergence diagnostics over the recorded traces — absent
+    # from the reference (it checks only a lag-1 autocorrelation band,
+    # tests/test_rwm_correctness.py:94-112); natural here because runs carry
+    # `record_chains` vectorized replicas.  Construct with record_chains>=2
+    # (4+ recommended) for the cross-chain forms; a single recorded chain is
+    # split in half per Vehtari et al. 2021.
+    def effective_sample_size(self) -> np.ndarray:
+        """Split-chain ESS per dimension, shape ``(dim,)``."""
+        from ..analysis.diagnostics import effective_sample_size
+        return effective_sample_size(self._get_chains_3d())
+
+    def split_rhat(self) -> np.ndarray:
+        """Split-chain potential scale reduction per dimension, ``(dim,)``."""
+        from ..analysis.diagnostics import split_rhat
+        return split_rhat(self._get_chains_3d())
+
+    def mcse_mean(self) -> np.ndarray:
+        """Monte-Carlo standard error of the mean per dimension, ``(dim,)``."""
+        from ..analysis.diagnostics import mcse_mean
+        return mcse_mean(self._get_chains_3d())
+
+    def integrated_autocorr_time(self) -> np.ndarray:
+        """IACT per dimension in recorded-draw units (x record_every for
+        MH-step units), shape ``(dim,)``."""
+        from ..analysis.diagnostics import integrated_autocorr_time
+        return integrated_autocorr_time(self._get_chains_3d())
 
     def traceplot(self, single_dim: bool = False, show: bool = False,
                   output_dir: str = "images"):
