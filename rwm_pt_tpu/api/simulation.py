@@ -208,9 +208,18 @@ class MCMCSimulation:
         # Mosaic compiler (multi-minute/hanging pallas compiles); auto mode
         # keeps it on the scan engine.  engine='pallas' still forces it.
         slow_compile = "SuperFunnel" in self.target_dist.get_name()
+        # meshes are fine as long as only chains are sharded: each device
+        # then runs the full VMEM-resident kernel on its chain slice via
+        # shard_map (kernels/pallas_sharded.py); temperature-sharded meshes
+        # need the scan engine (the Pallas swap sweep is VMEM-local)
+        mesh_ok = self.mesh is None or (
+            "chains" in self.mesh.axis_names
+            and all(self.mesh.shape[a] == 1 for a in self.mesh.axis_names
+                    if a != "chains")
+            and self.num_chains % self.mesh.shape["chains"] == 0)
         eligible = (self.proposal_config.get("name") in
                     ("Normal", "Laplace", "UniformRadius")
-                    and not self.record_chain and self.mesh is None
+                    and not self.record_chain and mesh_ok
                     and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
                     and not self.cpu_semantics
@@ -221,8 +230,9 @@ class MCMCSimulation:
             if not eligible:
                 raise ValueError(
                     "engine='pallas' requires a library proposal (Normal/"
-                    "Laplace/UniformRadius), record_chain=False, no mesh, "
-                    "the TPU backend, and float32 (x64 disabled)")
+                    "Laplace/UniformRadius), record_chain=False, a chains-"
+                    "only mesh (or none) with num_chains divisible by its "
+                    "size, the TPU backend, and float32 (x64 disabled)")
             return True
         return eligible
 
@@ -302,8 +312,22 @@ class MCMCSimulation:
                       f"(target acceptance {self.autotune_target})")
             return None
         if self._use_pallas():
-            from ..kernels import run_pt_pallas, run_rwm_pallas
-            if self.is_pt:
+            from ..kernels import (run_pt_pallas, run_pt_pallas_sharded,
+                                   run_rwm_pallas, run_rwm_pallas_sharded)
+            if self.mesh is not None and self.is_pt:
+                res = run_pt_pallas_sharded(
+                    self.target_dist, self.key,
+                    jnp.asarray(self.beta_ladder, default_float()), self.mesh,
+                    proposal=self.proposal_dist, num_chains=self.num_chains,
+                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    swap_every=self.swap_every, init_states=init_states)
+            elif self.mesh is not None:
+                res = run_rwm_pallas_sharded(
+                    self.target_dist, self.key, self.mesh,
+                    proposal=self.proposal_dist, num_chains=self.num_chains,
+                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    init_states=init_states)
+            elif self.is_pt:
                 res = run_pt_pallas(
                     self.target_dist, self.key,
                     jnp.asarray(self.beta_ladder, default_float()),

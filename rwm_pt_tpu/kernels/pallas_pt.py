@@ -125,11 +125,12 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
 @functools.partial(
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
-                     "block"))
+                     "block", "interpret"))
 def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
                   num_chains: int, num_iterations: int, burn_in: int = 0,
                   swap_every: int = 100, init_states=None,
-                  proposal: Any = None, block: int = 2048) -> PTResult:
+                  proposal: Any = None, block: int = 2048,
+                  interpret: bool = False) -> PTResult:
     """Pallas-fused PT run.  Metrics contract matches
     :func:`rwm_pt_tpu.kernels.run_pt`; per-rung MH acceptance is tracked for
     the cold rung only (rung 0) to keep the accumulator footprint small.
@@ -211,6 +212,8 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
             jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
         ],
+        # TPU-semantics interpreter (supports pltpu.prng_*) for CPU tests
+        interpret=pltpu.InterpretParams() if interpret else False,
     )(seed, stds, betas, *flat_params, *extra_inputs, x0)
 
     n = jnp.float32(num_iterations)

@@ -127,3 +127,83 @@ def test_pt_full_run_2d_mesh_matches_unsharded(target, key):
                                   np.asarray(r_shard.state.swap_accept_count))
     np.testing.assert_allclose(np.asarray(r_plain.pt_esjd),
                                np.asarray(r_shard.pt_esjd), rtol=1e-5)
+
+
+class TestShardedPallasEngine:
+    """shard_map-wrapped Pallas kernels (kernels/pallas_sharded.py): chains
+    are communication-free, so each device runs the full VMEM-resident kernel
+    on its chain slice.  PRNG statistics are TPU-only (interpreter returns
+    degenerate bits), so CPU validates plumbing: sharded assembly, shapes,
+    per-shard key independence, and mesh validation."""
+
+    def test_rwm_sharded_shapes_and_layout(self, key):
+        from rwm_pt_tpu.kernels import run_rwm_pallas_sharded
+        tgt = MultivariateNormal.create(3)
+        mesh = make_mesh()
+        res = run_rwm_pallas_sharded(tgt, key, mesh, base_variance=0.5,
+                                     num_chains=1024, num_iterations=3,
+                                     burn_in=1, interpret=True)
+        assert res.state.x.shape == (3, 1024)
+        assert res.acceptance_rate.shape == (1024,)
+        assert int(res.state.step) == 4
+        # chain axis actually sharded over the mesh
+        assert res.state.x.sharding.spec == P(None, "chains")
+
+    def test_pt_sharded_shapes_and_counts(self, key):
+        from rwm_pt_tpu.kernels import run_pt_pallas_sharded
+        tgt = MultivariateNormal.create(3)
+        mesh = make_mesh()
+        betas = jnp.geomspace(1.0, 0.01, 4).astype(jnp.float32)
+        res = run_pt_pallas_sharded(tgt, key, betas, mesh, base_variance=0.5,
+                                    num_chains=512, num_iterations=6,
+                                    burn_in=0, swap_every=2, interpret=True)
+        assert res.state.x.shape == (3, 4, 512)
+        assert res.state.logp.shape == (4, 512)
+        # 3 swap events x (T-1) pairs
+        assert int(res.state.swap_attempt_count) == 9
+        assert res.swap_acceptance_rate.shape == (512,)
+
+    def test_per_shard_initial_states_differ(self, key):
+        """Each shard folds its own key: auto-init states must not be eight
+        copies of the same block."""
+        from rwm_pt_tpu.kernels import run_rwm_pallas_sharded
+        tgt = MultivariateNormal.create(2)
+        mesh = make_mesh()
+        res = run_rwm_pallas_sharded(tgt, key, mesh, base_variance=0.5,
+                                     num_chains=64, num_iterations=1,
+                                     interpret=True)
+        x = np.asarray(res.state.x)          # (2, 64), 8 chains per shard
+        shards = x.reshape(2, 8, 8)
+        assert not np.allclose(shards[:, 0], shards[:, 1])
+
+    def test_explicit_init_states_are_scattered(self, key):
+        from rwm_pt_tpu.kernels import run_rwm_pallas_sharded
+        tgt = MultivariateNormal.create(2)
+        mesh = make_mesh()
+        x0 = jnp.arange(2 * 64, dtype=jnp.float32).reshape(2, 64)
+        res = run_rwm_pallas_sharded(tgt, key, mesh, base_variance=1e-12,
+                                     num_chains=64, num_iterations=1,
+                                     init_states=x0, interpret=True)
+        # with ~zero proposal variance the states stay ~put; verifies the
+        # global (d, C) init tensor was scattered to shards in order
+        np.testing.assert_allclose(np.asarray(res.state.x), np.asarray(x0),
+                                   atol=1e-3)
+
+    def test_temp_sharded_mesh_rejected(self, key):
+        from rwm_pt_tpu.kernels import run_pt_pallas_sharded
+        tgt = MultivariateNormal.create(3)
+        mesh = make_mesh((4, 2), ("chains", "temps"))
+        betas = jnp.geomspace(1.0, 0.01, 4).astype(jnp.float32)
+        with pytest.raises(ValueError, match="temperature-sharded"):
+            run_pt_pallas_sharded(tgt, key, betas, mesh, base_variance=0.5,
+                                  num_chains=512, num_iterations=2,
+                                  interpret=True)
+
+    def test_indivisible_chains_rejected(self, key):
+        from rwm_pt_tpu.kernels import run_rwm_pallas_sharded
+        tgt = MultivariateNormal.create(3)
+        mesh = make_mesh()
+        with pytest.raises(ValueError, match="not divisible"):
+            run_rwm_pallas_sharded(tgt, key, mesh, base_variance=0.5,
+                                   num_chains=100, num_iterations=2,
+                                   interpret=True)
