@@ -155,11 +155,17 @@ class RoughCarpet(TargetMixin):
 
     def log_density_td(self, x):
         y = bdim(self.scaling_factors, x) * x if self.scaling else x
-        # (3, d, *B): per-dim mixture, logsumexp over modes then sum over dims
-        # (reference :470-510).
-        diff = y[None] - self.modes.reshape((3,) + (1,) * x.ndim)
-        lw = self.log_weights.reshape((3,) + (1,) * x.ndim)
-        per_dim = jax.nn.logsumexp(-0.5 * diff * diff - _LOG_SQRT_2PI + lw, axis=0)
+        # per-dim mixture: logsumexp over modes, then sum over dims
+        # (reference :470-510).  The 3-way logsumexp is unrolled over the
+        # static mode count with scalar mode/weight extraction so no mode
+        # axis is materialized — Mosaic cannot lower the (1,3)->(3,1,...)
+        # relayout a broadcast against a mode axis needs inside Pallas
+        # kernels; this form is elementwise-only and compiles everywhere.
+        parts = [self.log_weights[k] - 0.5 * jnp.square(y - self.modes[k])
+                 for k in range(3)]
+        m = jnp.maximum(jnp.maximum(parts[0], parts[1]), parts[2])
+        per_dim = m + jnp.log(jnp.exp(parts[0] - m) + jnp.exp(parts[1] - m)
+                              + jnp.exp(parts[2] - m)) - _LOG_SQRT_2PI
         return jnp.sum(per_dim, axis=0) + self.log_jacobian
 
     def direct_sample(self, key, n: int, beta: float = 1.0):

@@ -59,9 +59,11 @@ class EvenRosenbrock(TargetMixin):
     """
 
     dim: int = struct.field(pytree_node=False)
-    a_coeff: jax.Array
-    b_coeff: jax.Array
-    mu: jax.Array  # (d/2,)
+    a_coeff: jax.Array  # () scalar, kept for direct_sample / introspection
+    b_coeff: jax.Array  # ()
+    mu: jax.Array       # (d-1,): per-pair means scattered to even slots
+    a_vec: jax.Array    # (d-1,): a at pair starts, 0 at odd slots
+    b_vec: jax.Array    # (d-1,): b at pair starts, 0 at odd slots
     name: str = struct.field(pytree_node=False, default="EvenRosenbrock")
 
     @classmethod
@@ -69,16 +71,31 @@ class EvenRosenbrock(TargetMixin):
                b_coeff: float = DEFAULT_B_COEFF, mu=DEFAULT_MU) -> "EvenRosenbrock":
         if dim < 2 or dim % 2 != 0:
             raise ValueError("Dimension for EvenRosenbrock must be >= 2 and even.")
-        mu_arr = jnp.broadcast_to(jnp.asarray(mu, default_float()), (dim // 2,))
-        return cls(dim=dim, a_coeff=jnp.asarray(a_coeff, default_float()),
-                   b_coeff=jnp.asarray(b_coeff, default_float()), mu=mu_arr)
+        # The pair structure is folded into (d-1,) parameter vectors at build
+        # time (mu/a/b at even slots, 0 at odd slots): the density then needs
+        # only contiguous x[:-1]/x[1:] slices and elementwise math — the same
+        # shape pattern as FullRosenbrock — because Mosaic cannot lower the
+        # strided x[0::2] gathers (or an iota-masked select; it hangs) that a
+        # direct transcription of reference :194-210 would need in a Pallas
+        # kernel.
+        f = default_float()
+        mu_pairs = jnp.broadcast_to(jnp.asarray(mu, f), (dim // 2,))
+        mu_arr = jnp.zeros((dim - 1,), f).at[0::2].set(mu_pairs)
+        even = jnp.zeros((dim - 1,), f).at[0::2].set(1.0)
+        a = jnp.asarray(a_coeff, f)
+        b = jnp.asarray(b_coeff, f)
+        return cls(dim=dim, a_coeff=a, b_coeff=b, mu=mu_arr,
+                   a_vec=a * even, b_vec=b * even)
 
     def log_density_td(self, x):
-        x_odd = x[0::2]   # x_{2i-1}, shape (d/2, *B)
-        x_even = x[1::2]  # x_{2i}
-        t1 = self.a_coeff * (x_odd - bdim(self.mu, x_odd)) ** 2
-        t2 = self.b_coeff * (x_even - x_odd * x_odd) ** 2
-        return -(jnp.sum(t1, axis=0) + jnp.sum(t2, axis=0))
+        # pair (x_{2i-1}, x_{2i}) starts at even index i of x[:-1]; odd-index
+        # entries carry zero coefficients, so the sum covers exactly the d/2
+        # independent 2-d Rosenbrock kernels of reference :194-210
+        x_i = x[:-1]      # (d-1, *B)
+        x_ip1 = x[1:]
+        t1 = bdim(self.a_vec, x_i) * jnp.square(x_i - bdim(self.mu, x_i))
+        t2 = bdim(self.b_vec, x_i) * jnp.square(x_ip1 - x_i * x_i)
+        return -jnp.sum(t1 + t2, axis=0)
 
     def direct_sample(self, key, n: int, beta: float = 1.0):
         """Exact conditional-Gaussian sampler (reference :224-248):
@@ -87,7 +104,8 @@ class EvenRosenbrock(TargetMixin):
         pairs = self.dim // 2
         eff_a = self.a_coeff * beta
         eff_b = self.b_coeff * beta
-        x_odd = self.mu + jax.random.normal(k1, (n, pairs)) * jnp.sqrt(1.0 / (2 * eff_a))
+        mu_pairs = self.mu[0::2]                     # un-scatter (see create)
+        x_odd = mu_pairs + jax.random.normal(k1, (n, pairs)) * jnp.sqrt(1.0 / (2 * eff_a))
         x_even = x_odd ** 2 + jax.random.normal(k2, (n, pairs)) * jnp.sqrt(1.0 / (2 * eff_b))
         out = jnp.zeros((n, self.dim))
         out = out.at[:, 0::2].set(x_odd)
