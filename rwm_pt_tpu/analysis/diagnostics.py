@@ -54,25 +54,40 @@ def _split_chains(a: np.ndarray) -> np.ndarray:
     return np.concatenate([a[:n], a[n:2 * n]], axis=1)
 
 
+def _raw_acov(a: np.ndarray, n_lags: int) -> np.ndarray:
+    """Unnormalized linear autocovariance sums per chain, lags 0..n_lags-1.
+
+    FFT-based (O(n log n)) with zero-padding to the next power of two >= 2n
+    so the circular convolution equals the linear one.  Returns the raw
+    cross-term sums; callers divide by their estimator's lag count.
+    """
+    n = a.shape[0]
+    a = a - a.mean(axis=0, keepdims=True)
+    m = 1 << (2 * n - 1).bit_length()
+    f = np.fft.rfft(a, n=m, axis=0)
+    return np.fft.irfft(f * np.conj(f), n=m, axis=0)[:n_lags].real
+
+
 def autocorrelation(x, max_lag: int | None = None) -> np.ndarray:
     """Normalized per-chain autocorrelation, averaged over chains.
 
-    FFT-based (O(n log n)); returns ``rho[0..max_lag]`` with ``rho[0] == 1``.
+    Returns ``rho[0..max_lag]`` with ``rho[0] == 1``.  A zero-variance
+    (stuck) chain is perfectly correlated: it contributes ``rho == 1`` at
+    every lag rather than diluting the average.
     """
     a = _as_draws_chains(x)
     n = a.shape[0]
     if max_lag is None:
         max_lag = n - 1
     max_lag = min(max_lag, n - 1)
-    a = a - a.mean(axis=0, keepdims=True)
-    # next power of two >= 2n for linear (non-circular) autocovariance
-    m = 1 << (2 * n - 1).bit_length()
-    f = np.fft.rfft(a, n=m, axis=0)
-    acov = np.fft.irfft(f * np.conj(f), n=m, axis=0)[: max_lag + 1].real
+    acov = _raw_acov(a, max_lag + 1)
     acov /= np.arange(n, n - max_lag - 1, -1)[:, None]  # unbiased divisor
     var = acov[0].copy()
-    var[var == 0] = 1.0
-    return (acov / var).mean(axis=1)
+    stuck = var == 0
+    var[stuck] = 1.0
+    rho = acov / var
+    rho[:, stuck] = 1.0
+    return rho.mean(axis=1)
 
 
 def _ess_one(a: np.ndarray) -> float:
@@ -114,12 +129,7 @@ def _ess_one(a: np.ndarray) -> float:
 
 
 def _acov_per_chain(a: np.ndarray) -> np.ndarray:
-    n = a.shape[0]
-    a = a - a.mean(axis=0, keepdims=True)
-    m = 1 << (2 * n - 1).bit_length()
-    f = np.fft.rfft(a, n=m, axis=0)
-    acov = np.fft.irfft(f * np.conj(f), n=m, axis=0)[:n].real
-    return acov / n                                        # biased (Stan's)
+    return _raw_acov(a, a.shape[0]) / a.shape[0]           # biased (Stan's)
 
 
 def _per_quantity(x, fn):

@@ -172,23 +172,40 @@ class MCMCSimulation:
         if autotune:
             record_chain = False
 
-        # chain recording policy: record everything for small runs (parity
-        # with the reference's materialized chains), auto-thin for large ones.
-        n_total = (self.burn_in + num_iterations)
-        if record_chain is None:
-            record_chain = n_total * dim <= _RECORD_LIMIT
-        self.record_chain = record_chain
-        if record_every is None:
-            record_every = 1
-            if record_chain and n_total * dim > _RECORD_LIMIT:
-                record_every = max(1, (n_total * dim) // _RECORD_LIMIT)
-        self.record_every = record_every
         # how many of the vectorized replicas get their (cold-)trace recorded;
         # >1 enables the cross-chain diagnostics (split_rhat / ESS)
         if not 1 <= record_chains <= num_chains:
             raise ValueError(f"record_chains must be in [1, num_chains"
                              f"={num_chains}], got {record_chains}")
         self.record_chains = record_chains
+
+        # chain recording policy: record everything for small runs (parity
+        # with the reference's materialized chains), auto-thin for large ones.
+        # The budget counts every recorded float: steps x dim x record_chains.
+        n_total = (self.burn_in + num_iterations)
+        rec_floats = n_total * dim * record_chains
+        if record_chain is None:
+            record_chain = rec_floats <= _RECORD_LIMIT
+        self.record_chain = record_chain
+        # an explicit record_chains>1 request is a request for recorded
+        # diagnostics — fail at construction, not after an hours-long run
+        if record_chains > 1 and not record_chain:
+            raise ValueError(
+                "record_chains > 1 requires chain recording, but recording "
+                "is off for this run ("
+                + ("autotune=True disables it"
+                   if autotune else
+                   "record_chain=False" if record_chain is False and
+                   rec_floats <= _RECORD_LIMIT else
+                   f"{rec_floats:,} recorded floats exceed the "
+                   f"{_RECORD_LIMIT:,} budget; raise record_every or lower "
+                   f"num_iterations/record_chains, or pass record_chain=True "
+                   f"to force it") + ")")
+        if record_every is None:
+            record_every = 1
+            if record_chain and rec_floats > _RECORD_LIMIT:
+                record_every = max(1, rec_floats // _RECORD_LIMIT)
+        self.record_every = record_every
 
         self.mesh = make_mesh() if use_mesh else None
         # engine selection: the Pallas VMEM-resident kernel is ~1.5x (RWM) to
@@ -360,13 +377,8 @@ class MCMCSimulation:
         self._result = res
 
         if res.chain is not None:
-            chain = np.asarray(res.chain[..., 0])        # (n_rec, d)
-            # entry k holds the state after step (k+1)*rec; drop entries from
-            # burn-in steps (<= burn_in) so thinned chains honor the "chain
-            # excludes burn-in" contract too
-            rec = self.record_every or 1
-            chain = chain[self.burn_in // rec:]
-            self._chain_np = chain
+            # replica 0's trace, burn-in-trimmed by _get_chains_3d
+            self._chain_np = self._get_chains_3d()[:, :, 0]
         if verbose:
             total_steps = (self.burn_in + self.num_iterations) * self.num_chains
             if self.is_pt:
@@ -643,6 +655,9 @@ class MCMCSimulation:
         if res is None or getattr(res, "chain", None) is None:
             raise ValueError("Chain recording was disabled for this run "
                              "(record_chain=False).")
+        # entry k holds the state after step (k+1)*rec; drop entries from
+        # burn-in steps (<= burn_in) so thinned chains honor the "chain
+        # excludes burn-in" contract (rwm_gpu_optimized.py:475-488)
         rec = self.record_every or 1
         return np.asarray(res.chain)[self.burn_in // rec:]
 

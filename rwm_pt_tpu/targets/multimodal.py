@@ -164,8 +164,12 @@ class RoughCarpet(TargetMixin):
         parts = [self.log_weights[k] - 0.5 * jnp.square(y - self.modes[k])
                  for k in range(3)]
         m = jnp.maximum(jnp.maximum(parts[0], parts[1]), parts[2])
-        per_dim = m + jnp.log(jnp.exp(parts[0] - m) + jnp.exp(parts[1] - m)
-                              + jnp.exp(parts[2] - m)) - _LOG_SQRT_2PI
+        # m == -inf (all quadratics overflowed, |y| > ~2e19 f32) must yield
+        # -inf like jax.nn.logsumexp, not NaN from (-inf) - (-inf): shift by
+        # a zeroed max so exp(-inf - 0) = 0 -> log 0 = -inf, m + -inf = -inf
+        m0 = jnp.where(jnp.isfinite(m), m, 0.0)
+        per_dim = m + jnp.log(jnp.exp(parts[0] - m0) + jnp.exp(parts[1] - m0)
+                              + jnp.exp(parts[2] - m0)) - _LOG_SQRT_2PI
         return jnp.sum(per_dim, axis=0) + self.log_jacobian
 
     def direct_sample(self, key, n: int, beta: float = 1.0):

@@ -148,3 +148,52 @@ class TestSimulationIntegration:
         sim.generate_samples(verbose=False)
         with pytest.raises(ValueError, match="record"):
             sim.split_rhat()
+
+
+class TestReviewRegressions:
+    def test_record_chains_budget_scales_thinning(self):
+        from rwm_pt_tpu.api import MCMCSimulation
+        # same steps x dim, 4x the recorded replicas -> ~4x the thinning
+        s1 = MCMCSimulation(dim=10, sigma=0.5, num_iterations=300_000,
+                            target_dist="MultivariateNormal",
+                            record_chain=True, num_chains=4)
+        s4 = MCMCSimulation(dim=10, sigma=0.5, num_iterations=300_000,
+                            target_dist="MultivariateNormal",
+                            record_chain=True, num_chains=4, record_chains=4)
+        assert s4.record_every >= 4 * s1.record_every
+
+    def test_record_chains_without_recording_raises_at_construction(self):
+        from rwm_pt_tpu.api import MCMCSimulation
+        with pytest.raises(ValueError, match="record_chains > 1"):
+            MCMCSimulation(dim=2, sigma=0.5, num_iterations=100,
+                           target_dist="MultivariateNormal",
+                           num_chains=4, record_chains=2, record_chain=False)
+        with pytest.raises(ValueError, match="record_chains > 1"):
+            MCMCSimulation(dim=2, sigma=0.5, num_iterations=100_000_000,
+                           target_dist="MultivariateNormal",
+                           num_chains=4, record_chains=2)  # over budget
+        with pytest.raises(ValueError, match="record_chains > 1"):
+            MCMCSimulation(dim=2, sigma=0.5, num_iterations=5000,
+                           burn_in=1000, target_dist="MultivariateNormal",
+                           num_chains=4, record_chains=2, autotune=True)
+
+    def test_autocorrelation_stuck_chain_counts_as_correlated(self):
+        rng = np.random.default_rng(20)
+        healthy = rng.standard_normal((4000, 1))
+        stuck = np.full((4000, 1), 2.5)
+        rho = autocorrelation(np.concatenate([healthy, stuck], axis=1),
+                              max_lag=3)
+        assert rho[0] == pytest.approx(1.0)
+        # healthy chain contributes ~0 at lag 1, stuck chain contributes 1
+        assert rho[1] == pytest.approx(0.5, abs=0.05)
+
+
+def test_roughcarpet_extreme_state_is_neg_inf_not_nan():
+    """The unrolled 3-way logsumexp must degrade to -inf (recoverable),
+    never NaN (chain frozen forever), when all quadratics overflow f32."""
+    import jax.numpy as jnp
+    from rwm_pt_tpu.targets import get_target_distribution
+    t = get_target_distribution("RoughCarpet", 4)
+    x = jnp.full((4, 3), 1e30, jnp.float32)     # (d, B) far past f32 overflow
+    lp = t.log_density_td(x)
+    assert np.all(np.isneginf(np.asarray(lp))), np.asarray(lp)
