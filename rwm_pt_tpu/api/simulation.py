@@ -221,10 +221,6 @@ class MCMCSimulation:
     def _use_pallas(self) -> bool:
         if self.engine == "scan":
             return False
-        # SuperFunnel's slice-heavy log-density is pathological for the
-        # Mosaic compiler (multi-minute/hanging pallas compiles); auto mode
-        # keeps it on the scan engine.  engine='pallas' still forces it.
-        slow_compile = "SuperFunnel" in self.target_dist.get_name()
         # meshes are fine as long as only chains are sharded: each device
         # then runs the full VMEM-resident kernel on its chain slice via
         # shard_map (kernels/pallas_sharded.py); temperature-sharded meshes
@@ -241,8 +237,6 @@ class MCMCSimulation:
                     and not jax.config.jax_enable_x64
                     and not self.cpu_semantics
                     and not self.autotune)
-        if self.engine == "auto" and slow_compile:
-            return False
         if self.engine == "pallas":
             if not eligible:
                 raise ValueError(

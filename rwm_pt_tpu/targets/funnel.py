@@ -6,9 +6,10 @@ Re-implements (TPU-native, pure JAX):
 
 SuperFunnel is the only data-conditioned target.  The reference stores the
 design matrices as a Python list of per-group tensors and loops over groups
-(funnel_torch.py:219-231); here groups are a leading array axis and the whole
-likelihood is one einsum, so it maps onto a single MXU contraction with chains
-on the minor axis.
+(funnel_torch.py:219-231); here the group/covariate structure is folded into
+flat parameter rows and a static J*K unroll of elementwise broadcasts with
+chains on the minor axis — the formulation that lowers through both XLA and
+Mosaic (see log_density_td).
 """
 from __future__ import annotations
 
@@ -82,8 +83,9 @@ class SuperFunnel(TargetMixin):
     dim: int = struct.field(pytree_node=False)
     J: int = struct.field(pytree_node=False)
     K: int = struct.field(pytree_node=False)
-    X: jax.Array  # (J, n, K)
-    Y: jax.Array  # (J, n)
+    X: jax.Array       # (J, n, K)
+    X_cols: jax.Array  # (J*K, n): row j*K+k = X[j, :, k] (see log_density_td)
+    Y: jax.Array       # (J, n)
     prior_hypermean_std: jax.Array
     prior_tau_scale: jax.Array
     name: str = struct.field(pytree_node=False, default="SuperFunnel")
@@ -99,7 +101,9 @@ class SuperFunnel(TargetMixin):
         if Y.shape != X.shape[:2]:
             raise ValueError(f"Y_data must have shape {X.shape[:2]}, got {Y.shape}")
         dim = J + J * K + 1 + K + 1 + 1
-        return cls(dim=dim, J=J, K=K, X=X, Y=Y,
+        return cls(dim=dim, J=J, K=K, X=X,
+                   X_cols=X.transpose(0, 2, 1).reshape(J * K, X.shape[1]),
+                   Y=Y,
                    prior_hypermean_std=jnp.asarray(prior_hypermean_std, default_float()),
                    prior_tau_scale=jnp.asarray(prior_tau_scale, default_float()))
 
@@ -118,39 +122,59 @@ class SuperFunnel(TargetMixin):
         return cls.create(J, K, X, Y, prior_hypermean_std, prior_tau_scale)
 
     def _parse_theta(self, x):
-        """Split the dim-leading state (reference _parse_theta, :169-191)."""
+        """Split the dim-leading state (reference _parse_theta, :169-191).
+
+        ``betas`` stay flat ``(J*K, *B)`` (row j*K+k) — the ``(J, K, *B)``
+        reshape of a direct transcription is a sublane relayout Mosaic cannot
+        lower inside Pallas kernels.
+        """
         J, K = self.J, self.K
         i = 0
         alphas = x[i:i + J]; i += J                       # (J, *B)
-        betas = x[i:i + J * K].reshape((J, K) + x.shape[1:]); i += J * K
+        betas_flat = x[i:i + J * K]; i += J * K           # (J*K, *B)
         mu_alpha = x[i]; i += 1                           # (*B,)
         mu_beta = x[i:i + K]; i += K                      # (K, *B)
         tau_alpha = x[i]; i += 1
         tau_beta = x[i]
-        return alphas, betas, mu_alpha, mu_beta, tau_alpha, tau_beta
+        return alphas, betas_flat, mu_alpha, mu_beta, tau_alpha, tau_beta
 
     def log_density_td(self, x):
-        alphas, betas, mu_alpha, mu_beta, tau_alpha, tau_beta = self._parse_theta(x)
+        # Mosaic-friendly formulation: contiguous slices, static row indexing,
+        # elementwise ops and axis-0 reductions only.  The group/covariate
+        # structure is a static Python unroll over J*K terms (15 at the
+        # reference's J=5, K=3) instead of the (J,K,B)-relayout + einsum a
+        # direct transcription uses — that pair hangs the Mosaic compiler,
+        # which is why SuperFunnel used to be scan-engine-only.
+        from .base import bdim
+        (alphas, betas_flat, mu_alpha, mu_beta,
+         tau_alpha, tau_beta) = self._parse_theta(x)
         J, K = self.J, self.K
         valid = (tau_alpha > 1e-9) & (tau_beta > 1e-9)    # (*B,) (reference :209)
         safe_ta = jnp.where(valid, tau_alpha, 1.0)
         safe_tb = jnp.where(valid, tau_beta, 1.0)
 
         # Likelihood: eta_{j,n} = alpha_j + sum_k X_{j,n,k} beta_{j,k}  (:219-231)
-        eta = alphas[:, None] + jnp.einsum('jnk,jk...->jn...', self.X, betas)
-        Y = self.Y.reshape(self.Y.shape + (1,) * (x.ndim - 1))
-        ll = jnp.sum(Y * jax.nn.log_sigmoid(eta)
-                     + (1 - Y) * jax.nn.log_sigmoid(-eta), axis=(0, 1))
+        ll = 0.0
+        for j in range(J):
+            eta = alphas[j][None]                         # (1, *B)
+            for k in range(K):
+                jk = j * K + k
+                eta = eta + bdim(self.X_cols[jk], x) * betas_flat[jk][None]
+            yj = bdim(self.Y[j], x)                       # (n, 1...)
+            ll = ll + jnp.sum(yj * jax.nn.log_sigmoid(eta)
+                              + (1 - yj) * jax.nn.log_sigmoid(-eta), axis=0)
 
         # Prior alphas: N(mu_alpha, tau_alpha^2)  (:240-244)
         da = alphas - mu_alpha[None]
         lp_alpha = (-0.5 * J * _LOG_2PI - J * jnp.log(safe_ta)
                     - 0.5 * jnp.sum(da * da, axis=0) / safe_ta ** 2)
 
-        # Prior betas: N(mu_beta_k, tau_beta^2)  (:255-262)
-        db = betas - mu_beta[None]
+        # Prior betas: N(mu_beta_k, tau_beta^2)  (:255-262); mu_beta is tiled
+        # J times along the flat (J*K,) beta axis by concatenation
+        mu_beta_t = jnp.concatenate([mu_beta] * J, axis=0)  # (J*K, *B)
+        db = betas_flat - mu_beta_t
         lp_beta = (-0.5 * J * K * _LOG_2PI - J * K * jnp.log(safe_tb)
-                   - 0.5 * jnp.sum(db * db, axis=(0, 1)) / safe_tb ** 2)
+                   - 0.5 * jnp.sum(db * db, axis=0) / safe_tb ** 2)
 
         # Hypermean priors  (:265-275)
         hv = self.prior_hypermean_std ** 2

@@ -140,17 +140,16 @@ def test_pallas_pt_matches_scan_statistics(key):
 
 @pytest.mark.skipif(not ON_TPU, reason="Mosaic compilation requires real TPU")
 def test_pallas_compiles_for_all_targets(key):
-    """Every registry target (except the documented scan-only SuperFunnel)
-    must lower through Mosaic: regression net for layout-hostile patterns in
-    log_density_td (e.g. the RoughCarpet (1,3)->(3,1,1) mode-axis reshape
-    Mosaic rejects — fixed by unrolling the 3-way logsumexp)."""
+    """Every registry target must lower through Mosaic: regression net for
+    layout-hostile patterns in log_density_td (RoughCarpet's (1,3)->(3,1,1)
+    mode-axis reshape, EvenRosenbrock's strided x[0::2] gathers, and
+    SuperFunnel's (J,K,B) relayout + einsum all failed/hung Mosaic until
+    reformulated as contiguous-slice + elementwise math)."""
     from rwm_pt_tpu.kernels import run_rwm_pallas
     from rwm_pt_tpu.targets import get_target_distribution
     from rwm_pt_tpu.targets.registry import TARGET_NAMES
 
     for name in TARGET_NAMES:
-        if name == "SuperFunnel":        # scan-only: pathological compile
-            continue
         tgt = get_target_distribution(name, 10)
         res = run_rwm_pallas(tgt, key, base_variance=0.5, num_chains=256,
                              num_iterations=100, burn_in=20)
