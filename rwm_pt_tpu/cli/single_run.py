@@ -22,7 +22,7 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
                           num_chains=8, swap_every=100, output_dir="data",
                           images_dir="images", make_plots=True,
                           use_mesh=False, rng_impl="threefry2x32",
-                          autotune=False, **kwargs):
+                          autotune=False, diagnostics=0, **kwargs):
     import jax
     import jax.numpy as jnp
     from ..api import MCMCSimulation
@@ -32,13 +32,18 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
     actual_dim = target.dim
     cfg = build_proposal_config(proposal_name, scale_param, actual_dim)
 
+    if diagnostics and autotune:
+        raise ValueError("--diagnostics needs chain recording, which "
+                         "--autotune disables")
     sim = MCMCSimulation(dim=actual_dim, proposal_config=cfg,
                          num_iterations=num_iters,
                          algorithm=algorithm, target_dist=target, seed=seed,
                          burn_in=burn_in, num_chains=num_chains,
                          swap_every=swap_every,
                          geom_temp_spacing=(algorithm.upper() == "PT"),
-                         record_chain=not autotune, use_mesh=use_mesh,
+                         record_chain=True if diagnostics else not autotune,
+                         record_chains=max(1, diagnostics),
+                         use_mesh=use_mesh,
                          rng_impl=rng_impl, autotune=autotune)
     t0 = time.time()
     chain = sim.generate_samples()
@@ -60,6 +65,15 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
     if sim.is_pt:
         data["pt_esjd"] = sim.pt_expected_squared_jump_distance()
         data["beta_ladder"] = list(map(float, sim.beta_ladder))
+    if diagnostics:
+        # cross-chain convergence diagnostics over `diagnostics` recorded
+        # replicas (no reference equivalent; analysis/diagnostics.py)
+        data["split_rhat"] = [float(v) for v in sim.split_rhat()]
+        data["ess"] = [float(v) for v in sim.effective_sample_size()]
+        data["mcse_mean"] = [float(v) for v in sim.mcse_mean()]
+        print(f"   split-R-hat max={max(data['split_rhat']):.4f}  "
+              f"ESS min={min(data['ess']):.0f}  "
+              f"MCSE max={max(data['mcse_mean']):.2e}")
     if autotune:
         info = sim.get_diagnostic_info()
         data["autotune_target"] = info["autotune_target"]
@@ -115,6 +129,10 @@ def main(argv=None):
                              "acceptance during burn-in instead of using "
                              "--scale_param as-is (disables chain recording/"
                              "plots; needs --burn_in of a few thousand)")
+    parser.add_argument("--diagnostics", type=int, default=0, metavar="M",
+                        help="record M replicas' traces and report split-"
+                             "R-hat / ESS / MCSE per dimension (M >= 4 "
+                             "recommended; forces the scan engine)")
     args = parser.parse_args(argv)
     configure_backend(args)
 
@@ -127,7 +145,7 @@ def main(argv=None):
                           images_dir=args.images_dir,
                           make_plots=not args.no_plots and not args.autotune,
                           use_mesh=args.use_mesh, rng_impl=args.rng,
-                          autotune=args.autotune,
+                          autotune=args.autotune, diagnostics=args.diagnostics,
                           **target_kwargs_from_args(args))
 
 
