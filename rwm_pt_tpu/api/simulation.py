@@ -74,6 +74,7 @@ class MCMCSimulation:
                  autotune: bool = False,
                  autotune_target: float = 0.234,
                  autotune_every: int = 100,
+                 autotune_ladder: bool = False,
                  **kwargs):
         # proposal resolution: sigma back-compat path (simulation_gpu.py:58-66)
         if proposal_config is None and sigma is not None:
@@ -172,6 +173,36 @@ class MCMCSimulation:
         if autotune:
             record_chain = False
 
+        # burn-in ladder adaptation: Robbins-Monro on the per-pair beta
+        # spacings from measured swap acceptance (kernels/adapt.py
+        # run_pt_ladder_adaptive) — works for targets WITHOUT a direct
+        # sampler, which the reference's iterative construction requires
+        self.autotune_ladder = autotune_ladder
+        self._tuned_ladder = None
+        if autotune_ladder:
+            if not self.is_pt:
+                raise ValueError("autotune_ladder=True requires a PT "
+                                 "algorithm (it adapts the beta ladder)")
+            if autotune:
+                raise ValueError("autotune and autotune_ladder are mutually "
+                                 "exclusive (run the ladder tuner first, "
+                                 "then feed its beta_ladder to a scale-"
+                                 "autotuned run)")
+            if iterative_temp_spacing:
+                raise ValueError("autotune_ladder replaces "
+                                 "iterative_temp_spacing; pick one")
+            if cpu_semantics or engine == "pallas":
+                raise ValueError("autotune_ladder runs on the scan engine "
+                                 "with GPU swap semantics")
+            if record_chain:
+                raise ValueError("autotune_ladder=True requires "
+                                 "record_chain=False")
+            if self.burn_in < autotune_every:
+                raise ValueError(
+                    f"autotune_ladder=True needs burn_in >= autotune_every "
+                    f"({autotune_every}); got burn_in={self.burn_in}")
+            record_chain = False
+
         # how many of the vectorized replicas get their (cold-)trace recorded;
         # >1 enables the cross-chain diagnostics (split_rhat / ESS)
         if not 1 <= record_chains <= num_chains:
@@ -236,7 +267,8 @@ class MCMCSimulation:
                     and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
                     and not self.cpu_semantics
-                    and not self.autotune)
+                    and not self.autotune
+                    and not self.autotune_ladder)
         if self.engine == "pallas":
             if not eligible:
                 raise ValueError(

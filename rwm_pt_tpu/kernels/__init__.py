@@ -1,6 +1,7 @@
 """Fused sampler kernels (lax.scan + Pallas)."""
-from .adapt import (AdaptivePTResult, AdaptiveRWMResult, run_pt_adaptive,
-                    run_rwm_adaptive)
+from .adapt import (AdaptiveLadderPTResult, AdaptivePTResult,
+                    AdaptiveRWMResult, run_pt_adaptive,
+                    run_pt_ladder_adaptive, run_rwm_adaptive)
 from .pallas_pt import run_pt_pallas
 from .pallas_rwm import run_rwm_pallas
 from .pallas_sharded import run_pt_pallas_sharded, run_rwm_pallas_sharded
@@ -11,5 +12,5 @@ __all__ = ["RWMState", "RWMResult", "rwm_init", "rwm_step", "run_rwm",
            "PTState", "PTResult", "pt_init", "pt_step", "run_pt",
            "run_rwm_pallas", "run_pt_pallas",
            "run_rwm_pallas_sharded", "run_pt_pallas_sharded",
-           "AdaptiveRWMResult", "AdaptivePTResult",
-           "run_rwm_adaptive", "run_pt_adaptive"]
+           "AdaptiveRWMResult", "AdaptivePTResult", "AdaptiveLadderPTResult",
+           "run_rwm_adaptive", "run_pt_adaptive", "run_pt_ladder_adaptive"]

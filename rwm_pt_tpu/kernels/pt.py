@@ -116,8 +116,8 @@ def _swap_half_sweep(x, lp, key, betas, parity):
 
     Disjoint pairs swap via parity-masked shifted selects — the collective-free
     equivalent of ``fused_swap_execution_no_clone``
-    (pt_rwm_gpu_optimized.py:50-59).  Returns updated (x, lp) and per-replica
-    accept count / beta^2 jump sums.
+    (pt_rwm_gpu_optimized.py:50-59).  Returns updated (x, lp) and the
+    parity-masked per-pair accept mask ``(T-1, C)``.
     """
     T, C = lp.shape
     dlp = lp[1:] - lp[:-1]                      # logpi_{j+1} - logpi_j, (T-1, C)
@@ -139,9 +139,7 @@ def _swap_half_sweep(x, lp, key, betas, parity):
     lp_dn = jnp.roll(lp, 1, axis=0)
     lp_new = jnp.where(swap_up, lp_up, jnp.where(swap_dn, lp_dn, lp))
 
-    n_acc = jnp.sum(acc, axis=0, dtype=jnp.int32)            # (C,)
-    beta_sq = jnp.sum(acc * (dbeta ** 2)[:, None], axis=0)   # (C,)
-    return x_new, lp_new, n_acc, beta_sq
+    return x_new, lp_new, acc
 
 
 def _swap_phase(state: PTState, key, betas) -> PTState:
@@ -150,13 +148,17 @@ def _swap_phase(state: PTState, key, betas) -> PTState:
     pt_rwm_gpu_optimized.py:594-633).  Attempts T-1 pairs total per event."""
     T = betas.shape[0]
     k_even, k_odd = jax.random.split(key)
-    x, lp, n0, b0 = _swap_half_sweep(state.x, state.logp, k_even, betas, 0)
-    x, lp, n1, b1 = _swap_half_sweep(x, lp, k_odd, betas, 1)
+    x, lp, a0 = _swap_half_sweep(state.x, state.logp, k_even, betas, 0)
+    x, lp, a1 = _swap_half_sweep(x, lp, k_odd, betas, 1)
+    acc = a0 | a1                                # parities are disjoint pairs
+    dbeta = betas[:-1] - betas[1:]
     return state.replace(
         x=x, logp=lp,
         swap_attempt_count=state.swap_attempt_count + (T - 1),
-        swap_accept_count=state.swap_accept_count + n0 + n1,
-        sum_beta_sq_jump=state.sum_beta_sq_jump + b0 + b1)
+        swap_accept_count=state.swap_accept_count
+        + jnp.sum(acc, axis=0, dtype=jnp.int32),
+        sum_beta_sq_jump=state.sum_beta_sq_jump
+        + jnp.sum(acc * (dbeta ** 2)[:, None], axis=0))
 
 
 def pt_step(state: PTState, key, target, proposal, betas, burn_in,
