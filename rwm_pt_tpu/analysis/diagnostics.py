@@ -150,9 +150,13 @@ def effective_sample_size(x):
 
 
 def integrated_autocorr_time(x):
-    """IACT tau = total draws / ESS (tau = 1 for iid draws)."""
+    """IACT tau = total draws / ESS (tau = 1 for iid draws).
+
+    The total counts the draws the split-chain ESS actually uses:
+    ``2 * (n // 2)`` per chain (an odd trailing draw is dropped by the
+    split), so tau is not overstated for odd-length traces."""
     a = np.asarray(x, dtype=np.float64)
-    total = a.shape[0] * (a.shape[-1] if a.ndim > 1 else 1)
+    total = 2 * (a.shape[0] // 2) * (a.shape[-1] if a.ndim > 1 else 1)
     return total / effective_sample_size(x)
 
 

@@ -179,6 +179,8 @@ class MCMCSimulation:
         # sampler, which the reference's iterative construction requires
         self.autotune_ladder = autotune_ladder
         self._tuned_ladder = None
+        self._target_swap_accept = swap_acceptance_rate or 0.234
+        self._beta_min = beta_min_iterative
         if autotune_ladder:
             if not self.is_pt:
                 raise ValueError("autotune_ladder=True requires a PT "
@@ -249,6 +251,22 @@ class MCMCSimulation:
         self._chain_np = None
         self._elapsed = None
 
+    def _pallas_record_ok(self) -> bool:
+        """Recording on the Pallas engine needs the whole batch in one VMEM
+        block (the trace segments stream from that block) and no mesh."""
+        if not self.record_chain:
+            return True
+        if self.mesh is not None:
+            return False
+        kind = self.proposal_config.get("name")
+        if self.is_pt:
+            from ..kernels.pallas_pt import pt_vmem_block_cap
+            cap = pt_vmem_block_cap(self.dim, len(self.beta_ladder), kind)
+        else:
+            from ..kernels.pallas_rwm import rwm_vmem_block_cap
+            cap = rwm_vmem_block_cap(self.dim, kind)
+        return self.num_chains <= cap
+
     def _use_pallas(self) -> bool:
         if self.engine == "scan":
             return False
@@ -263,21 +281,29 @@ class MCMCSimulation:
             and self.num_chains % self.mesh.shape["chains"] == 0)
         eligible = (self.proposal_config.get("name") in
                     ("Normal", "Laplace", "UniformRadius")
-                    and not self.record_chain and mesh_ok
+                    and mesh_ok
                     and jax.default_backend() == "tpu"
                     and not jax.config.jax_enable_x64
                     and not self.cpu_semantics
+                    and self.symmetric
                     and not self.autotune
                     and not self.autotune_ladder)
         if self.engine == "pallas":
-            if not eligible:
+            # an explicit pallas request honors trace recording via the
+            # segmented VMEM->HBM kernel when the batch fits one block
+            if not (eligible and self._pallas_record_ok()):
                 raise ValueError(
                     "engine='pallas' requires a library proposal (Normal/"
-                    "Laplace/UniformRadius), record_chain=False, a chains-"
-                    "only mesh (or none) with num_chains divisible by its "
-                    "size, the TPU backend, and float32 (x64 disabled)")
+                    "Laplace/UniformRadius), a chains-only mesh (or none) "
+                    "with num_chains divisible by its size, the TPU backend, "
+                    "float32 (x64 disabled), symmetric=True (the VMEM "
+                    "kernels omit the asymmetric correction term), and — "
+                    "when record_chain=True — no mesh plus a chain batch "
+                    "small enough for one VMEM block")
             return True
-        return eligible
+        # 'auto' keeps recorded runs on the scan engine: its plain-scan trace
+        # path beats segment-per-snapshot VMEM round-trips at record_every=1
+        return eligible and not self.record_chain
 
     # ------------------------------------------------------------------ run
     def has_run(self) -> bool:
@@ -354,6 +380,29 @@ class MCMCSimulation:
                       f"{np.array2string(mult, precision=3)} "
                       f"(target acceptance {self.autotune_target})")
             return None
+        if self.autotune_ladder:
+            from ..kernels import run_pt_ladder_adaptive
+            tuned = run_pt_ladder_adaptive(
+                self.target_dist, self.proposal_dist, self.key,
+                num_rungs=len(self.beta_ladder),
+                num_chains=self.num_chains,
+                num_iterations=self.num_iterations, burn_in=self.burn_in,
+                swap_every=self.swap_every,
+                adapt_every=self.autotune_every,
+                target_swap_accept=self._target_swap_accept,
+                beta_min=self._beta_min, init_states=init_states)
+            tuned = jax.block_until_ready(tuned)
+            self._tuned_ladder = np.asarray(tuned.tuned_betas)
+            # the tuned ladder becomes the run's ladder: diagnostics, JSON
+            # output and follow-up runs all see the adapted betas
+            self.beta_ladder = [float(b) for b in self._tuned_ladder]
+            self._result = tuned.result
+            self._elapsed = time.time() - start
+            if verbose:
+                print(f"Autotuned beta ladder: "
+                      f"{np.array2string(self._tuned_ladder, precision=4)} "
+                      f"(target swap acceptance {self._target_swap_accept})")
+            return None
         if self._use_pallas():
             from ..kernels import (run_pt_pallas, run_pt_pallas_sharded,
                                    run_rwm_pallas, run_rwm_pallas_sharded)
@@ -376,13 +425,15 @@ class MCMCSimulation:
                     jnp.asarray(self.beta_ladder, default_float()),
                     proposal=self.proposal_dist, num_chains=self.num_chains,
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
-                    swap_every=self.swap_every, init_states=init_states)
+                    swap_every=self.swap_every, init_states=init_states,
+                    record_every=rec, record_chains=self.record_chains)
             else:
                 res = run_rwm_pallas(
                     self.target_dist, self.key, proposal=self.proposal_dist,
                     num_chains=self.num_chains,
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
-                    init_states=init_states)
+                    init_states=init_states,
+                    record_every=rec, record_chains=self.record_chains)
         elif self.is_pt:
             res = run_pt(self.target_dist, self.proposal_dist, self.key,
                          jnp.asarray(self.beta_ladder, default_float()),
@@ -390,13 +441,14 @@ class MCMCSimulation:
                          num_iterations=self.num_iterations,
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
-                         init_states=init_states,
+                         init_states=init_states, symmetric=self.symmetric,
                          record_every=rec, record_chains=self.record_chains)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                           num_chains=self.num_chains,
                           num_iterations=self.num_iterations,
                           burn_in=self.burn_in, init_states=init_states,
+                          symmetric=self.symmetric,
                           record_every=rec, record_chains=self.record_chains)
         res = jax.block_until_ready(res)
         self._elapsed = time.time() - start
@@ -451,14 +503,14 @@ class MCMCSimulation:
                              cpu_semantics=self.cpu_semantics,
                              init_states=(self._init_states() if state is None
                                           else None),
-                             resume_state=state)
+                             symmetric=self.symmetric, resume_state=state)
             else:
                 res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                               num_chains=self.num_chains, num_iterations=n,
                               burn_in=self.burn_in,
                               init_states=(self._init_states() if state is None
                                            else None),
-                              resume_state=state)
+                              symmetric=self.symmetric, resume_state=state)
             res = jax.block_until_ready(res)
             state = res.state
             done += n
@@ -556,7 +608,19 @@ class MCMCSimulation:
                 "tuned_scale_multiplier": (mult.tolist() if mult.ndim
                                            else float(mult)),
             })
+        if self._tuned_ladder is not None:
+            info.update({
+                "autotune_ladder_target": self._target_swap_accept,
+                "tuned_beta_ladder": [float(b) for b in self._tuned_ladder],
+            })
         return info
+
+    @property
+    def tuned_ladder(self):
+        """The burn-in-adapted beta ladder (``autotune_ladder=True`` runs),
+        or ``None`` if ladder adaptation did not run."""
+        return (None if self._tuned_ladder is None
+                else [float(b) for b in self._tuned_ladder])
 
     def tuned_proposal_config(self) -> dict:
         """The proposal config rescaled by the autotuned multiplier ``c`` —
@@ -639,25 +703,52 @@ class MCMCSimulation:
 
     def resume(self, path: str, num_iterations: Optional[int] = None):
         """Continue a checkpointed run for ``num_iterations`` more steps
-        (mid-run persistence — absent from the reference, SURVEY.md §5)."""
+        (mid-run persistence — absent from the reference, SURVEY.md §5).
+
+        Resume contract (scan engine): the kernels derive per-step randomness
+        by folding the *absolute* step counter into the run key
+        (kernels/rwm.py:141-145), so passing the same base key continues the
+        stream exactly where the checkpoint left it — a crash-resumed run is
+        bit-identical to the uninterrupted one (same contract as
+        ``checkpoint_every`` segments; enforced by
+        tests/test_resume_and_utils.py).  On the Pallas engine the
+        continuation is statistical (the hardware PRNG re-seeds from a
+        step-folded key) with exact cumulative accounting."""
         from ..kernels import run_pt, run_rwm
         state, meta = self.restore_state(path)
         n = num_iterations or self.num_iterations
         start = time.time()
-        # a fresh fold of the key: the kernels derive per-step randomness from
-        # the absolute step counter, so the stream continues, not replays
-        key = jax.random.fold_in(self.key, int(state.step))
+        key = self.key
+        if self._use_pallas() and self.mesh is None:
+            from ..kernels import run_pt_pallas, run_rwm_pallas
+            if self.is_pt:
+                res = run_pt_pallas(
+                    self.target_dist, key,
+                    jnp.asarray(self.beta_ladder, default_float()),
+                    proposal=self.proposal_dist, num_chains=self.num_chains,
+                    num_iterations=n, burn_in=self.burn_in,
+                    swap_every=self.swap_every, resume_state=state)
+            else:
+                res = run_rwm_pallas(
+                    self.target_dist, key, proposal=self.proposal_dist,
+                    num_chains=self.num_chains, num_iterations=n,
+                    burn_in=self.burn_in, resume_state=state)
+            self._result = jax.block_until_ready(res)
+            self._chain_np = None
+            self._elapsed = time.time() - start
+            return self._result
         if self.is_pt:
             res = run_pt(self.target_dist, self.proposal_dist, key,
                          jnp.asarray(self.beta_ladder, default_float()),
                          num_chains=self.num_chains, num_iterations=n,
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
-                         resume_state=state)
+                         symmetric=self.symmetric, resume_state=state)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, key,
                           num_chains=self.num_chains, num_iterations=n,
-                          burn_in=self.burn_in, resume_state=state)
+                          burn_in=self.burn_in, symmetric=self.symmetric,
+                          resume_state=state)
         self._result = jax.block_until_ready(res)
         # the resumed segment records no chain and has its own walltime;
         # stale values from the first segment must not leak into plots or

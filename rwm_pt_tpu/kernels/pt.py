@@ -80,7 +80,7 @@ def pt_init(target, key, betas, num_chains: int, init_states=None) -> PTState:
 
 
 def _mh_phase(state: PTState, key, target, proposal, betas, burn_in,
-              rung_mask=None, betas_proposal=None):
+              rung_mask=None, betas_proposal=None, symmetric: bool = True):
     """Batched MH move across (T, C) — the reference's fused parallel step
     (pt_rwm_gpu_optimized.py:61-84) plus increment generation (:576-592).
     Returns ``(new_state, accept_mask)``.
@@ -99,6 +99,10 @@ def _mh_phase(state: PTState, key, target, proposal, betas, burn_in,
     prop = state.x + inc
     lp_prop = target.log_density_td(prop)                   # (T, C)
     log_ratio = betas[:, None] * (lp_prop - state.logp)
+    if not symmetric:
+        # asymmetric-MH proposal correction (reference rwm.py:59-66);
+        # identically zero for the symmetric library proposals
+        log_ratio = log_ratio + proposal.log_q_ratio(inc, betas)
     u = jax.random.uniform(k_u, (T, C))
     accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
     if rung_mask is not None:
@@ -162,7 +166,8 @@ def _swap_phase(state: PTState, key, betas) -> PTState:
 
 
 def pt_step(state: PTState, key, target, proposal, betas, burn_in,
-            swap_every, cpu_semantics: bool = False) -> PTState:
+            swap_every, cpu_semantics: bool = False,
+            symmetric: bool = True) -> PTState:
     """One full PT step.
 
     GPU semantics (default): MH move for every rung, then (conditionally) a
@@ -185,11 +190,13 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
             is_swap_step,
             lambda s: _mh_phase(_swap_phase(s, k_swap, betas), k_mh, target,
                                 proposal, betas, burn_in,
-                                rung_mask=last_only)[0],
-            lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in)[0],
+                                rung_mask=last_only, symmetric=symmetric)[0],
+            lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in,
+                                symmetric=symmetric)[0],
             state)
     else:
-        state, _ = _mh_phase(state, k_mh, target, proposal, betas, burn_in)
+        state, _ = _mh_phase(state, k_mh, target, proposal, betas, burn_in,
+                             symmetric=symmetric)
         should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
         state = jax.lax.cond(should_swap,
                              lambda s: _swap_phase(s, k_swap, betas),
@@ -205,13 +212,13 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
                      "record_every", "record_chains", "unroll",
-                     "cpu_semantics"))
+                     "cpu_semantics", "symmetric"))
 def run_pt(target: Any, proposal: Any, key, betas, *,
            num_chains: int, num_iterations: int, burn_in: int = 0,
            swap_every: int = 100, init_states=None,
            record_every: Optional[int] = None, record_chains: int = 1,
            unroll: int = 2, cpu_semantics: bool = False,
-           resume_state=None) -> PTResult:
+           resume_state=None, symmetric: bool = True) -> PTResult:
     """Run ``burn_in + num_iterations`` PT steps on ``num_chains`` replicas.
 
     ``swap_every`` defaults to 100 like the GPU reference
@@ -231,7 +238,8 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
     def one_step(st, t):
         # key by absolute step counter (resume-safe)
         return pt_step(st, jax.random.fold_in(k_run, st.step), target,
-                       proposal, betas, burn_in, swap_every, cpu_semantics)
+                       proposal, betas, burn_in, swap_every, cpu_semantics,
+                       symmetric=symmetric)
 
     chain = None
     if record_every:

@@ -66,12 +66,19 @@ def rwm_init(target, key, num_chains: int, init_states=None) -> RWMState:
 
 
 def _rwm_step_core(state: RWMState, key, target, proposal, beta, burn_in,
-                   beta_proposal=None):
+                   beta_proposal=None, symmetric: bool = True):
     """One fused MH step; returns ``(new_state, accept_mask)``.
 
     ``beta_proposal`` optionally rescales only the increment draw (used by
     the adaptive tuner, kernels/adapt.py); the accept ratio always uses the
     true ``beta``.
+
+    ``symmetric=False`` adds the asymmetric-MH proposal correction
+    ``log q(x|y) - log q(y|x)`` to the accept ratio — the reference's
+    non-symmetric branch (/root/reference/algorithms/rwm.py:59-66).  All
+    library proposals are symmetric (the term is identically zero); the hook
+    exists for custom asymmetric proposals and so the flag is honored rather
+    than silently ignored.
     """
     k_inc, k_u = jax.random.split(key)
     C = state.x.shape[1]
@@ -80,6 +87,8 @@ def _rwm_step_core(state: RWMState, key, target, proposal, beta, burn_in,
     prop = state.x + inc
     lp_prop = target.log_density_td(prop)
     log_ratio = beta * (lp_prop - state.logp)
+    if not symmetric:
+        log_ratio = log_ratio + proposal.log_q_ratio(inc, beta)
     u = jax.random.uniform(k_u, (C,))
     accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
 
@@ -96,26 +105,28 @@ def _rwm_step_core(state: RWMState, key, target, proposal, beta, burn_in,
         step=state.step + 1), accept
 
 
-def rwm_step(state: RWMState, key, target, proposal, beta, burn_in) -> RWMState:
+def rwm_step(state: RWMState, key, target, proposal, beta, burn_in,
+             symmetric: bool = True) -> RWMState:
     """One fused MH step for all chains.
 
     Accept rule ``(r > 0) | (u < exp(r))`` with ``r = beta (logpi(y)-logpi(x))``
     matches the reference kernel exactly (rwm_gpu_optimized.py:9-32); NaN from
     (-inf) - (-inf) compares False on both sides => reject, like torch.
     """
-    return _rwm_step_core(state, key, target, proposal, beta, burn_in)[0]
+    return _rwm_step_core(state, key, target, proposal, beta, burn_in,
+                          symmetric=symmetric)[0]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in",
-                     "record_every", "record_chains", "unroll"),
+                     "record_every", "record_chains", "unroll", "symmetric"),
     donate_argnames=())
 def run_rwm(target: Any, proposal: Any, key, *,
             num_chains: int, num_iterations: int, burn_in: int = 0,
             beta: float = 1.0, init_states=None, resume_state=None,
             record_every: Optional[int] = None, record_chains: int = 1,
-            unroll: int = 4) -> RWMResult:
+            unroll: int = 4, symmetric: bool = True) -> RWMResult:
     """Run ``burn_in + num_iterations`` fused MH steps on ``num_chains`` chains.
 
     Returns per-chain acceptance rate and ESJD with the reference's
@@ -142,7 +153,7 @@ def run_rwm(target: Any, proposal: Any, key, *,
         # key derived from the absolute step counter so resumed runs draw
         # fresh randomness instead of replaying the first segment's stream
         return rwm_step(st, jax.random.fold_in(k_run, st.step), target,
-                        proposal, beta, burn_in)
+                        proposal, beta, burn_in, symmetric=symmetric)
 
     chain = None
     if record_every:

@@ -35,7 +35,8 @@ def _expand(v: jax.Array, batch_ndim: int) -> jax.Array:
 
 
 class Proposal:
-    """Common surface: ``name``, ``dim``, ``sample`` / ``sample_td``."""
+    """Common surface: ``name``, ``dim``, ``sample`` / ``sample_td``,
+    ``log_inc_density`` / ``log_q_ratio``."""
 
     def get_name(self) -> str:
         return self.name
@@ -44,6 +45,23 @@ class Proposal:
         """Reference-compatible layout: ``(n, dim)`` increments
         (proposal_distributions/base.py:31-44)."""
         return jnp.moveaxis(self.sample_td(key, jnp.asarray(beta), (n,)), 0, -1)
+
+    def log_q_ratio(self, inc, betas):
+        """Asymmetric-MH correction ``log q(x|y) - log q(y|x)`` for a move
+        ``y = x + inc`` — the reference's ``symmetric=False`` proposal term
+        (/root/reference/algorithms/rwm.py:59-66, which evaluates both
+        proposal pdfs; here via the increment density: q(x|y) = g(-inc),
+        q(y|x) = g(inc)).
+
+        All library proposals have even increment densities g(-z) = g(z), so
+        this is identically zero for them — the hook exists so the accept
+        rule is *computed* correctly when ``symmetric=False`` is requested
+        and so custom asymmetric proposals can override it.  Unlike the
+        reference (which evaluates the correction at the untempered base
+        variance, rwm.py:61-65), the density here uses the rung's effective
+        scale — immaterial for symmetric proposals (both give 0).
+        """
+        return self.log_inc_density(-inc, betas) - self.log_inc_density(inc, betas)
 
 
 @struct.dataclass
@@ -69,6 +87,16 @@ class NormalProposal(Proposal):
         if std.ndim > 0:
             std = _expand(std, len(batch_shape))
         return z * std
+
+    def log_inc_density(self, inc, betas):
+        """log N(inc; 0, (base_variance/beta) I) reduced over dim -> (*B,)."""
+        betas = jnp.asarray(betas)
+        var_eff = self.base_variance_scalar / betas          # () or (T,)
+        sq = jnp.sum(inc * inc, axis=0)                      # (*B,)
+        if var_eff.ndim > 0:
+            var_eff = var_eff.reshape(var_eff.shape + (1,) * (sq.ndim - 1))
+        return -0.5 * self.dim * jnp.log(2.0 * jnp.pi * var_eff) \
+            - 0.5 * sq / var_eff
 
 
 @struct.dataclass
@@ -106,6 +134,18 @@ class LaplaceProposal(Proposal):
         clamped = jnp.maximum(-2.0 * jnp.abs(u), -0.999999)  # laplace.py:64-67
         return -scale * jnp.sign(u) * jnp.log1p(clamped)
 
+    def _scale(self, betas, batch_ndim):
+        betas = jnp.asarray(betas)
+        var_eff = self.base_variance_vector[:, None] / betas if betas.ndim > 0 \
+            else self.base_variance_vector / betas
+        scale = jnp.sqrt(var_eff / 2.0)
+        return scale.reshape(scale.shape + (1,) * (1 + batch_ndim - scale.ndim))
+
+    def log_inc_density(self, inc, betas):
+        """Product-Laplace log density reduced over dim -> (*B,)."""
+        scale = self._scale(betas, inc.ndim - 1)             # (d, 1...) bcast
+        return jnp.sum(-jnp.log(2.0 * scale) - jnp.abs(inc) / scale, axis=0)
+
 
 @struct.dataclass
 class UniformRadiusProposal(Proposal):
@@ -135,6 +175,20 @@ class UniformRadiusProposal(Proposal):
             r_eff = _expand(r_eff, len(batch_shape))
         radii = r_eff * jnp.power(u, 1.0 / self.dim)  # uniform.py:68-70
         return dirs * radii
+
+    def log_inc_density(self, inc, betas):
+        """Uniform-in-ball log density: -log Vol_d(R_eff) inside, -inf
+        outside; reduced over dim -> (*B,)."""
+        from jax.scipy.special import gammaln
+        betas = jnp.asarray(betas)
+        d = self.dim
+        norm = jnp.sqrt(jnp.sum(inc * inc, axis=0))          # (*B,)
+        r_eff = self.base_radius / jnp.sqrt(betas)
+        if r_eff.ndim > 0:
+            r_eff = r_eff.reshape(r_eff.shape + (1,) * (norm.ndim - 1))
+        log_vol = (d * jnp.log(r_eff) + 0.5 * d * jnp.log(jnp.pi)
+                   - gammaln(0.5 * d + 1.0))
+        return jnp.where(norm <= r_eff, -log_vol, -jnp.inf)
 
 
 def create_proposal_distribution(dim: int, proposal_config: dict) -> Proposal:

@@ -83,7 +83,10 @@ class SuperFunnel(TargetMixin):
     dim: int = struct.field(pytree_node=False)
     J: int = struct.field(pytree_node=False)
     K: int = struct.field(pytree_node=False)
-    X: jax.Array       # (J, n, K)
+    # the raw (J, n, K) design matrix is NOT stored: log_density_td reads only
+    # X_cols, and a dead pytree leaf would be flattened into every jit/Pallas
+    # kernel operand list (duplicating the data in VMEM for the VMEM-resident
+    # engine)
     X_cols: jax.Array  # (J*K, n): row j*K+k = X[j, :, k] (see log_density_td)
     Y: jax.Array       # (J, n)
     prior_hypermean_std: jax.Array
@@ -101,7 +104,7 @@ class SuperFunnel(TargetMixin):
         if Y.shape != X.shape[:2]:
             raise ValueError(f"Y_data must have shape {X.shape[:2]}, got {Y.shape}")
         dim = J + J * K + 1 + K + 1 + 1
-        return cls(dim=dim, J=J, K=K, X=X,
+        return cls(dim=dim, J=J, K=K,
                    X_cols=X.transpose(0, 2, 1).reshape(J * K, X.shape[1]),
                    Y=Y,
                    prior_hypermean_std=jnp.asarray(prior_hypermean_std, default_float()),

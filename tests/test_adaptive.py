@@ -115,3 +115,77 @@ def test_api_autotune_validation():
     with pytest.raises(ValueError, match="autotune and checkpoint_every"):
         sim.generate_samples(verbose=False, checkpoint_every=10,
                              checkpoint_path="/tmp/x")
+
+
+# ---------------------------------------------------------------- ladder tuner
+def test_ladder_adaptive_converges_to_target(key):
+    """run_pt_ladder_adaptive: tuned ladder is monotone with beta_0 == 1 and
+    the post-burn-in (frozen-ladder) swap acceptance lands near the target."""
+    from rwm_pt_tpu.kernels import run_pt_ladder_adaptive
+    tgt = MultivariateNormal.create(5)
+    prop = NormalProposal.create(5, 2.38 ** 2 / 5)
+    out = run_pt_ladder_adaptive(
+        tgt, prop, key, num_rungs=6, num_chains=256, num_iterations=4000,
+        burn_in=4000, swap_every=10, adapt_swap_every=10, adapt_every=200,
+        target_swap_accept=0.234)
+    betas = np.asarray(out.tuned_betas)
+    assert betas.shape == (6,)
+    assert betas[0] == 1.0
+    assert np.all(np.diff(betas) < 0)          # strictly decreasing
+    assert np.all(betas > 0)
+    acc = float(np.mean(np.asarray(out.result.swap_acceptance_rate)))
+    assert abs(acc - 0.234) < 0.06, f"swap acceptance {acc} far from target"
+
+
+def test_ladder_adaptive_swap_accounting(key):
+    """Official swap counters must only see post-burn-in production swaps
+    (measurement swaps during adaptation are excluded)."""
+    from rwm_pt_tpu.kernels import run_pt_ladder_adaptive
+    tgt = MultivariateNormal.create(3)
+    prop = NormalProposal.create(3, 1.0)
+    T, n, b, se = 4, 300, 200, 25
+    out = run_pt_ladder_adaptive(
+        tgt, prop, key, num_rungs=T, num_chains=8, num_iterations=n,
+        burn_in=b, swap_every=se, adapt_swap_every=10, adapt_every=100)
+    # production swap events: steps s in (b, b+n] with s % se == 0
+    n_events = (b + n) // se - b // se
+    assert int(out.result.state.swap_attempt_count) == n_events * (T - 1)
+    assert int(out.result.state.step) == b + n
+
+
+def test_api_autotune_ladder_dispatch(key):
+    """autotune_ladder=True must actually run the ladder tuner: the run's
+    beta_ladder is replaced by the tuned one and exposed via diagnostics
+    (regression test for the silently-ignored flag)."""
+    sim = MCMCSimulation(dim=5, sigma=2.38 ** 2 / 5, num_iterations=3000,
+                         algorithm="PT", target_dist="MultivariateNormal",
+                         num_chains=128, burn_in=3000, swap_every=10,
+                         autotune_ladder=True, autotune_every=200,
+                         swap_acceptance_rate=0.3)
+    geometric = list(sim.beta_ladder)
+    out = sim.generate_samples(verbose=False)
+    assert out is None
+    assert sim.tuned_ladder is not None
+    assert sim.beta_ladder == sim.tuned_ladder
+    assert sim.beta_ladder != geometric       # adaptation actually moved it
+    assert sim.beta_ladder[0] == 1.0
+    assert all(b2 < b1 for b1, b2 in zip(sim.beta_ladder, sim.beta_ladder[1:]))
+    info = sim.get_diagnostic_info()
+    assert info["autotune_ladder_target"] == 0.3
+    assert info["tuned_beta_ladder"] == sim.tuned_ladder
+    assert abs(sim.swap_acceptance_rate() - 0.3) < 0.08
+
+
+def test_api_autotune_ladder_validation():
+    with pytest.raises(ValueError, match="PT"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="RWM",
+                       target_dist="MultivariateNormal", autotune_ladder=True,
+                       burn_in=200)
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="PT",
+                       target_dist="MultivariateNormal", autotune=True,
+                       autotune_ladder=True, burn_in=200)
+    with pytest.raises(ValueError, match="iterative_temp_spacing"):
+        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="PT",
+                       target_dist="MultivariateNormal", autotune_ladder=True,
+                       iterative_temp_spacing=True, burn_in=200)

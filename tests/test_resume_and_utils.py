@@ -256,3 +256,40 @@ def test_checkpointed_zero_iterations_rejected():
     with pytest.raises(ValueError, match="num_iterations"):
         sim.generate_samples(verbose=False, checkpoint_every=10,
                              checkpoint_path="/tmp/zz")
+
+
+def test_resume_matches_uninterrupted_bitwise(tmp_path):
+    """The unified resume contract: crash -> save_checkpoint -> resume()
+    reproduces the uninterrupted run bit-for-bit, exactly like
+    checkpoint_every segments (same base key + absolute-step key folds)."""
+    kw = dict(dim=3, sigma=0.8, num_iterations=100, algorithm="RWM",
+              target_dist="MultivariateNormal", seed=5, burn_in=20,
+              num_chains=8, record_chain=False)
+    full = MCMCSimulation(**kw)
+    full.generate_samples(verbose=False)
+    part = MCMCSimulation(**{**kw, "num_iterations": 60})
+    part.generate_samples(verbose=False)
+    p = str(tmp_path / "ck.npz")
+    part.save_checkpoint(p)
+    res = MCMCSimulation(**kw).resume(p, num_iterations=40)
+    np.testing.assert_array_equal(np.asarray(full._result.state.x),
+                                  np.asarray(res.state.x))
+    np.testing.assert_array_equal(np.asarray(full._result.state.accept_count),
+                                  np.asarray(res.state.accept_count))
+
+
+def test_resume_matches_uninterrupted_bitwise_pt(tmp_path):
+    kw = dict(dim=2, sigma=1.0, num_iterations=120, algorithm="PT",
+              target_dist="MultivariateNormal", seed=9, burn_in=30,
+              num_chains=4, swap_every=10, record_chain=False)
+    full = MCMCSimulation(**kw)
+    full.generate_samples(verbose=False)
+    part = MCMCSimulation(**{**kw, "num_iterations": 50})
+    part.generate_samples(verbose=False)
+    p = str(tmp_path / "ptck.npz")
+    part.save_checkpoint(p)
+    res = MCMCSimulation(**kw).resume(p, num_iterations=70)
+    np.testing.assert_array_equal(np.asarray(full._result.state.x),
+                                  np.asarray(res.state.x))
+    assert int(full._result.state.swap_attempt_count) == int(
+        res.state.swap_attempt_count)
