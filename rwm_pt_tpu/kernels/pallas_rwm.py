@@ -85,6 +85,18 @@ def _uniform_ball(shape, radius):
     return dirs * (radius * jnp.exp(jnp.log(u) * (1.0 / d)))
 
 
+def rwm_vmem_block_cap(dim: int, kind: str = "Normal") -> int:
+    """Largest chain block that fits VMEM: ~11 live (dim, block) f32 arrays
+    within the 16MB budget (measured: blk=16384 at d=30 needs 21MB and OOMs).
+    The Laplace and uniform-ball draws keep 1-2 extra (dim, block)
+    temporaries live (sign/dirs + Box-Muller intermediates), so their caps
+    shrink.  Also the API-side eligibility bound for Pallas trace recording
+    (which needs the whole batch in one block)."""
+    bytes_per_lane = {"Normal": 44, "Laplace": 48,
+                      "UniformRadius": 56}[kind] * dim
+    return max(128, int(14e6 / bytes_per_lane) // 128 * 128)
+
+
 def _proposal_kind(proposal) -> str:
     kind = getattr(proposal, "name", "Normal")
     if kind not in ("Normal", "Laplace", "UniformRadius"):
@@ -118,12 +130,15 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
         else:
             pscale_ref = None
             rest = refs[n_params:]
-        x_ref, x_out_ref, lp_out_ref, acc_ref, jump_ref = rest
+        (x_ref, acc0_ref, jump0_ref,
+         x_out_ref, lp_out_ref, acc_ref, jump_ref) = rest
         leaves = [param_refs[i][:].reshape(shapes[i])
                   for i in range(n_params)]
         target = jax.tree_util.tree_unflatten(treedef, leaves)
-        # distinct stream per chain block
+        # distinct stream per chain block; resumed segments re-seed from a
+        # fresh fold of the host key (statistical, not bitwise, continuation)
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+        step0 = seed_ref[1]   # absolute step offset (resume; 0 for fresh runs)
         std = scale_ref[0]    # effective std (Normal) / radius (UniformRadius)
         beta = scale_ref[1]
         if kind == "Normal":
@@ -136,7 +151,6 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
         x0 = x_ref[:]
         lp0 = target.log_density_td(x0)[None, :]          # (1, BLOCK)
         zeros = jnp.zeros_like(lp0)
-        zeros_i = jnp.zeros(lp0.shape, jnp.int32)
 
         def body(t, carry):
             # acc is an exact int32 counter (an f32 counter saturates at 2^24
@@ -151,7 +165,7 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
             accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
             x_new = jnp.where(accept, prop, x)            # (1,B) -> (d,B)
             lp_new = jnp.where(accept, lp_prop, lp)
-            post = t + 1 > burn_in
+            post = step0 + t + 1 > burn_in
             acc = acc + (post & accept).astype(jnp.int32)
             step_jump = jnp.sum(jnp.square(x_new - x), axis=0, keepdims=True)
             y = jnp.where(post, step_jump, 0.0) - jc
@@ -160,7 +174,7 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
             return x_new, lp_new, acc, tot, jc
 
         x, lp, acc, jump, _ = jax.lax.fori_loop(
-            0, total_steps, body, (x0, lp0, zeros_i, zeros, zeros))
+            0, total_steps, body, (x0, lp0, acc0_ref[:], jump0_ref[:], zeros))
         x_out_ref[:] = x
         lp_out_ref[:] = lp
         acc_ref[:] = acc
@@ -169,32 +183,133 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
     return kernel
 
 
+def _make_record_kernel(treedef, shapes, n_params: int, seg_steps: int,
+                        n_segs: int, rem_steps: int, burn_in: int, dim: int,
+                        kind: str = "Normal"):
+    """Recording variant: grid over ``n_segs`` trace segments (single chain
+    block).  Chain state and accumulators persist across grid steps in VMEM
+    scratch; each segment runs ``seg_steps`` on-chip steps and writes one
+    thinned snapshot tile to HBM — the periodic VMEM->HBM output tiling that
+    gives the Pallas engine the scan engine's ``record_every`` capability
+    (reference chain materialization: rwm_gpu_optimized.py:224-243)."""
+    def kernel(seed_ref, scale_ref, *refs):
+        param_refs = refs[:n_params]
+        if kind == "Laplace":
+            pscale_ref = refs[n_params]
+            rest = refs[n_params + 1:]
+        else:
+            pscale_ref = None
+            rest = refs[n_params:]
+        (x_ref, acc0_ref, jump0_ref,
+         x_out_ref, lp_out_ref, acc_ref, jump_ref, rec_ref,
+         x_s, lp_s, acc_s, jump_s) = rest
+        leaves = [param_refs[i][:].reshape(shapes[i])
+                  for i in range(n_params)]
+        target = jax.tree_util.tree_unflatten(treedef, leaves)
+        r = pl.program_id(0)
+        # seed once per segment with a distinct per-segment stream; segments
+        # run sequentially so the scratch carry is exact
+        pltpu.prng_seed(seed_ref[0] + r)
+        step0 = seed_ref[1]
+        std = scale_ref[0]
+        beta = scale_ref[1]
+        if kind == "Normal":
+            draw_inc = lambda shape: _normal(shape) * std
+        elif kind == "Laplace":
+            lap_scale = pscale_ref[:]
+            draw_inc = lambda shape: _laplace(shape, lap_scale)
+        else:
+            draw_inc = lambda shape: _uniform_ball(shape, std)
+
+        @pl.when(r == 0)
+        def _init():
+            x_s[:] = x_ref[:]
+            lp_s[:] = target.log_density_td(x_ref[:])[None, :]
+            acc_s[:] = acc0_ref[:]
+            jump_s[:] = jump0_ref[:]
+
+        def body(t, carry):
+            x, lp, acc, jump = carry
+            eps = draw_inc(x.shape)
+            prop = x + eps
+            lp_prop = target.log_density_td(prop)[None, :]
+            log_ratio = beta * (lp_prop - lp)
+            u = _uniform(lp.shape)
+            accept = (log_ratio > 0.0) | (u < jnp.exp(log_ratio))
+            x_new = jnp.where(accept, prop, x)
+            lp_new = jnp.where(accept, lp_prop, lp)
+            post = step0 + r * seg_steps + t + 1 > burn_in
+            acc = acc + (post & accept).astype(jnp.int32)
+            step_jump = jnp.sum(jnp.square(x_new - x), axis=0, keepdims=True)
+            jump = jump + jnp.where(post, step_jump, 0.0)
+            return x_new, lp_new, acc, jump
+
+        x, lp, acc, jump = jax.lax.fori_loop(
+            0, seg_steps, body, (x_s[:], lp_s[:], acc_s[:], jump_s[:]))
+        rec_ref[0] = x                    # snapshot after (r+1)*seg_steps
+        if rem_steps:                     # trailing non-recorded remainder
+            @pl.when(r == n_segs - 1)
+            def _tail():
+                xr, lpr, accr, jumpr = jax.lax.fori_loop(
+                    seg_steps, seg_steps + rem_steps, body, (x, lp, acc, jump))
+                x_s[:] = xr
+                lp_s[:] = lpr
+                acc_s[:] = accr
+                jump_s[:] = jumpr
+
+            @pl.when(r < n_segs - 1)
+            def _keep():
+                x_s[:] = x
+                lp_s[:] = lp
+                acc_s[:] = acc
+                jump_s[:] = jump
+        else:
+            x_s[:] = x
+            lp_s[:] = lp
+            acc_s[:] = acc
+            jump_s[:] = jump
+        x_out_ref[:] = x_s[:]
+        lp_out_ref[:] = lp_s[:]
+        acc_ref[:] = acc_s[:]
+        jump_ref[:] = jump_s[:]
+
+    return kernel
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "block",
-                     "interpret"))
+                     "record_every", "record_chains", "interpret"))
 def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
                    num_chains: int, num_iterations: int, burn_in: int = 0,
                    beta: float = 1.0, init_states=None, block: int = 1024,
-                   proposal: Any = None, interpret: bool = False) -> RWMResult:
+                   proposal: Any = None, record_every: int = None,
+                   record_chains: int = 1, resume_state=None,
+                   interpret: bool = False) -> RWMResult:
     """Pallas-fused RWM run.  Same metrics contract as ``run_rwm``.
 
     ``proposal`` may be any of the three library proposals (Normal / Laplace /
     UniformRadius) with the reference's beta-scaling laws.  The back-compat
     ``base_variance`` shorthand means a Normal proposal with effective std
     ``sqrt(base_variance / beta)`` (reference normal.py:27-33).
+
+    ``record_every``: thinned-trace recording like ``run_rwm`` — snapshots of
+    the first ``record_chains`` chains after every ``record_every``-th step,
+    streamed VMEM->HBM one tile per segment.  Requires the whole chain batch
+    to fit a single VMEM block.
+
+    ``resume_state``: continue a previous :class:`RWMState` for another
+    ``num_iterations`` steps with cumulative accounting.  Continuation is
+    *statistical*, not bitwise (the hardware PRNG re-seeds per segment),
+    matching this engine's general PRNG contract vs the scan engine.
     """
     dim = target.dim
     kind = "Normal" if proposal is None else _proposal_kind(proposal)
     if proposal is None and base_variance is None:
         raise ValueError("pass either base_variance or a proposal")
-    # cap the block so ~11 live (dim, block) f32 arrays fit the 16MB VMEM
-    # budget (measured: blk=16384 at d=30 needs 21MB and OOMs).  The Laplace
-    # and uniform-ball draws keep 1-2 extra (dim, block) temporaries live
-    # (sign/dirs + Box-Muller intermediates), so their caps shrink.
-    bytes_per_lane = {"Normal": 44, "Laplace": 48,
-                      "UniformRadius": 56}[kind] * dim
-    vmem_cap = max(128, int(14e6 / bytes_per_lane) // 128 * 128)
+    vmem_cap = rwm_vmem_block_cap(dim, kind)
+    if record_every:
+        block = num_chains    # recording requires a single chain block
     block = min(block, vmem_cap, num_chains)
     # gcd fallback: measured as fast as the largest-divisor search (at d=100
     # the kernel is bandwidth-bound, bigger tiles don't help) and compiles
@@ -202,16 +317,31 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
     if num_chains % block:
         block = int(np.gcd(num_chains, block)) or num_chains
     n_blocks = num_chains // block
-    total = burn_in + num_iterations
 
-    if init_states is None:
-        x0 = target.init_sample(jax.random.fold_in(key, 0xC0), num_chains).T
+    if resume_state is not None:
+        x0 = resume_state.x
+        acc0 = resume_state.accept_count[None, :].astype(jnp.int32)
+        jump0 = resume_state.sum_sq_jump[None, :].astype(jnp.float32)
+        step0 = resume_state.step.astype(jnp.int32)
+        total = num_iterations
     else:
-        x0 = jnp.asarray(init_states)
+        if init_states is None:
+            x0 = target.init_sample(jax.random.fold_in(key, 0xC0),
+                                    num_chains).T
+        else:
+            x0 = jnp.asarray(init_states)
+        acc0 = jnp.zeros((1, num_chains), jnp.int32)
+        jump0 = jnp.zeros((1, num_chains), jnp.float32)
+        step0 = jnp.zeros((), jnp.int32)
+        total = burn_in + num_iterations
     x0 = x0.astype(jnp.float32)
 
-    seed = jax.random.randint(jax.random.fold_in(key, 0x5EED), (1,),
-                              0, np.iinfo(np.int32).max, dtype=jnp.int32)
+    # fold the absolute step offset into the seed so a resumed segment draws
+    # a fresh stream instead of replaying the first segment's
+    k_seed = jax.random.fold_in(jax.random.fold_in(key, 0x5EED), step0)
+    seed = jax.random.randint(k_seed, (1,), 0, np.iinfo(np.int32).max,
+                              dtype=jnp.int32)
+    seed = jnp.stack([seed[0], step0])
     beta_arr = jnp.asarray(beta, jnp.float32)
     # per-kind effective scale (the reference's beta laws: variance/beta for
     # Normal & Laplace, radius/sqrt(beta) for UniformRadius)
@@ -231,45 +361,86 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
     scale = jnp.stack([s, beta_arr])
 
     flat_params, treedef, shapes = _flatten_params(target)
-    kernel = _make_kernel(treedef, shapes, len(flat_params), total, burn_in,
-                          dim, kind)
     param_specs = [pl.BlockSpec(memory_space=pltpu.VMEM) for _ in flat_params]
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,        # seed, scale
-        grid=(n_blocks,),
-        in_specs=param_specs + extra_specs + [
-            pl.BlockSpec((dim, block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM)],
-        out_specs=[
-            pl.BlockSpec((dim, block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda i, *_: (0, i),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    x_f, lp_f, acc_f, jump_f = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
-            jax.ShapeDtypeStruct((1, num_chains), jnp.int32),
-            jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
-        ],
-        # the TPU-semantics interpreter (supports pltpu.prng_*) for CPU tests
-        interpret=pltpu.InterpretParams() if interpret else False,
-    )(seed, scale, *flat_params, *extra_inputs, x0)
+    vec_spec = pl.BlockSpec((1, block), lambda *ix: (0, ix[0]),
+                            memory_space=pltpu.VMEM)
+    mat_spec = pl.BlockSpec((dim, block), lambda *ix: (0, ix[0]),
+                            memory_space=pltpu.VMEM)
+    interp = pltpu.InterpretParams() if interpret else False
+    out_shape = [
+        jax.ShapeDtypeStruct((dim, num_chains), jnp.float32),
+        jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+        jax.ShapeDtypeStruct((1, num_chains), jnp.int32),
+        jax.ShapeDtypeStruct((1, num_chains), jnp.float32),
+    ]
 
-    n = jnp.float32(num_iterations)
+    chain = None
+    if record_every:
+        if n_blocks != 1:
+            raise ValueError(
+                f"Pallas trace recording needs the whole chain batch in one "
+                f"VMEM block: num_chains={num_chains} exceeds the "
+                f"~{block}-chain cap at dim={dim} (use the scan engine or "
+                f"fewer chains)")
+        n_segs = total // record_every
+        rem = total - n_segs * record_every
+        if n_segs == 0:
+            raise ValueError("record_every exceeds the total step count")
+        kernel = _make_record_kernel(treedef, shapes, len(flat_params),
+                                     record_every, n_segs, rem, burn_in, dim,
+                                     kind)
+        # single chain block: the grid runs over trace segments, so all
+        # state/accumulator tiles pin to block 0; only the trace output
+        # advances with the segment index
+        vec0 = pl.BlockSpec((1, block), lambda r, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+        mat0 = pl.BlockSpec((dim, block), lambda r, *_: (0, 0),
+                            memory_space=pltpu.VMEM)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,        # seed(+step0), scale
+            grid=(n_segs,),
+            in_specs=param_specs + extra_specs + [mat0, vec0, vec0],
+            out_specs=[mat0, vec0, vec0, vec0,
+                       pl.BlockSpec((1, dim, block), lambda r, *_: (r, 0, 0),
+                                    memory_space=pltpu.VMEM)],
+            scratch_shapes=[pltpu.VMEM((dim, block), jnp.float32),
+                            pltpu.VMEM((1, block), jnp.float32),
+                            pltpu.VMEM((1, block), jnp.int32),
+                            pltpu.VMEM((1, block), jnp.float32)],
+        )
+        x_f, lp_f, acc_f, jump_f, rec = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape + [
+                jax.ShapeDtypeStruct((n_segs, dim, num_chains), jnp.float32)],
+            interpret=interp,
+        )(seed, scale, *flat_params, *extra_inputs, x0, acc0, jump0)
+        chain = rec[:, :, :record_chains]
+    else:
+        kernel = _make_kernel(treedef, shapes, len(flat_params), total,
+                              burn_in, dim, kind)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,        # seed(+step0), scale
+            grid=(n_blocks,),
+            in_specs=param_specs + extra_specs + [mat_spec, vec_spec,
+                                                  vec_spec],
+            out_specs=[mat_spec, vec_spec, vec_spec, vec_spec],
+        )
+        x_f, lp_f, acc_f, jump_f = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            # TPU-semantics interpreter (supports pltpu.prng_*) for CPU tests
+            interpret=interp,
+        )(seed, scale, *flat_params, *extra_inputs, x0, acc0, jump0)
+
+    # cumulative post-burn-in normalization (resume-safe, like run_rwm)
+    n = jnp.maximum(step0 + total - burn_in, 1).astype(jnp.float32)
     state = RWMState(x=x_f, logp=lp_f[0],
                      accept_count=acc_f[0].astype(jnp.int32),
                      sum_sq_jump=jump_f[0],
-                     step=jnp.asarray(total, jnp.int32))
+                     step=step0 + jnp.asarray(total, jnp.int32))
     return RWMResult(state=state,
                      acceptance_rate=acc_f[0] / n,
                      esjd=jump_f[0] / n,
-                     chain=None)
+                     chain=chain)
