@@ -79,7 +79,15 @@ def average_experiment_data(file_paths: List[str]) -> Dict[str, Any]:
     for field in _ARRAY_FIELDS:
         arrs = [d[field] for d in all_data if field in d]
         if arrs:
-            out[field] = np.mean([np.asarray(a) for a in arrs], axis=0).tolist()
+            stacked = np.stack([np.asarray(a) for a in arrs])
+            out[field] = np.mean(stacked, axis=0).tolist()
+            # across-seed spread (1 sd) — quantifies the single-seed noise of
+            # the source files, used by the parity analysis to decide whether
+            # a curve delta is reference-side noise or a semantics bug
+            if field in ("expected_squared_jump_distances",
+                         "acceptance_rates") and len(arrs) > 1:
+                out[field + "_seed_std"] = np.std(
+                    stacked, axis=0, ddof=1).tolist()
     # swap rate at max ESJD (reference :165-179)
     if ("expected_squared_jump_distances" in ref
             and "swap_acceptance_rates_range" in ref):
@@ -131,6 +139,10 @@ def main(argv=None):
     parser.add_argument("--dim", type=int)
     parser.add_argument("--iters", type=int)
     parser.add_argument("--data_dir", type=str, default="data")
+    parser.add_argument("--out_dir", type=str, default=None,
+                        help="Write the averaged JSON here instead of "
+                             "data_dir (data_dir may be read-only, e.g. the "
+                             "reference repo's committed results)")
     parser.add_argument("--min_seeds", type=int, default=2)
     args = parser.parse_args(argv)
 
@@ -146,7 +158,9 @@ def main(argv=None):
         print(f"  {os.path.basename(f)}")
     data = average_experiment_data(files)
     out_name = generate_output_filename(pattern, data["averaged_from_seeds"])
-    out_path = os.path.join(args.data_dir, out_name)
+    out_dir = args.out_dir or args.data_dir
+    os.makedirs(out_dir, exist_ok=True)
+    out_path = os.path.join(out_dir, out_name)
     save_json(data, out_path)
     print(f"Averaged data written to {out_path}")
 

@@ -25,12 +25,27 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
+def _make_proposal(ref, dim, scale):
+    """Proposal from the ref file's ``proposal_distribution`` field, with the
+    reference's scale-parameter conventions (experiment_RWM_GPU.py:215-243):
+    Normal/Laplace variance = scale^2/dim; UniformRadius radius = scale."""
+    from rwm_pt_tpu.proposals import (LaplaceProposal, NormalProposal,
+                                      UniformRadiusProposal)
+    name = ref.get("proposal_distribution", "Normal")
+    if name == "Normal":
+        return NormalProposal.create(dim, float(scale) ** 2 / dim)
+    if name == "Laplace":
+        return LaplaceProposal.create(dim, float(scale) ** 2 / dim)
+    if name == "UniformRadius":
+        return UniformRadiusProposal.create(dim, float(scale))
+    raise ValueError(f"Unknown proposal in ref file: {name}")
+
+
 def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
     import jax
     import jax.numpy as jnp
 
     from rwm_pt_tpu.kernels import run_rwm
-    from rwm_pt_tpu.proposals import NormalProposal
     from rwm_pt_tpu.targets import get_target_distribution
 
     dim = ref["dimension"]
@@ -40,14 +55,17 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
     # proposal variance = v^2/dim (experiment_RWM.py:52,
     # experiment_RWM_GPU.py:218)
     grid = (ref.get("var_value_range") or ref["scale_param_range"])[::stride]
-    variances = [s ** 2 / dim for s in grid]
     ref_acc = ref["acceptance_rates"][::stride]
     ref_esjd = ref["expected_squared_jump_distances"][::stride]
+    # seed-averaged files carry the across-seed spread; the reference mean's
+    # SE is spread/sqrt(n_seeds)
+    n_avg = ref.get("num_files_averaged", 1)
+    acc_std = (ref.get("acceptance_rates_seed_std") or [None] * 999)[::stride]
     key = jax.random.key(seed)
 
     rows = []
-    for i, (var, ra, re) in enumerate(zip(variances, ref_acc, ref_esjd)):
-        prop = NormalProposal.create(dim, float(var))
+    for i, (sc, ra, re) in enumerate(zip(grid, ref_acc, ref_esjd)):
+        prop = _make_proposal(ref, dim, sc)
         res = jax.block_until_ready(
             run_rwm(target, prop, jax.random.fold_in(key, i),
                     num_chains=num_chains, num_iterations=num_iters,
@@ -57,16 +75,19 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
         # MC standard error of our acceptance estimate (per-chain estimates
         # are iid); reference single-chain error is ~sqrt(a(1-a)/N_ref)
         acc_se = float(jnp.std(res.acceptance_rate) / num_chains ** 0.5)
-        rows.append({"scale": grid[i], "variance": var, "ref_acc": ra,
-                     "our_acc": acc, "ref_esjd": re, "our_esjd": esjd,
-                     "acc_se": acc_se})
-        print(f"  var={var:8.4f}  acc ref/ours {ra:.4f}/{acc:.4f}  "
+        row = {"scale": sc, "ref_acc": ra, "our_acc": acc, "ref_esjd": re,
+               "our_esjd": esjd, "acc_se": acc_se}
+        if acc_std[i] is not None:
+            row["ref_acc_se"] = acc_std[i] / n_avg ** 0.5
+            row["ref_acc_seed_std"] = acc_std[i]
+        rows.append(row)
+        print(f"  scale={sc:8.4f}  acc ref/ours {ra:.4f}/{acc:.4f}  "
               f"esjd ref/ours {re:.5f}/{esjd:.5f}", flush=True)
     return rows
 
 
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
-                  n_samples_swap_est):
+                  n_samples_swap_est, tolerance, max_pn_steps):
     import jax
     import jax.numpy as jnp
 
@@ -80,6 +101,8 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
     grid = ref["swap_acceptance_rates_range"][::stride]
     ref_acc = ref["acceptance_rates"][::stride]
     ref_esjd = ref["expected_squared_jump_distances"][::stride]
+    n_avg = ref.get("num_files_averaged", 1)
+    acc_std = (ref.get("acceptance_rates_seed_std") or [None] * 999)[::stride]
     prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
     key = jax.random.key(seed)
 
@@ -87,7 +110,8 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
     for i, (rate, ra, re) in enumerate(zip(grid, ref_acc, ref_esjd)):
         ladder = construct_iterative_ladder(
             target, target_swap_acceptance_rate=float(rate),
-            N_samples_swap_est=n_samples_swap_est, seed=seed + i,
+            N_samples_swap_est=n_samples_swap_est, tolerance=tolerance,
+            max_pn_adjustment_steps=max_pn_steps, seed=seed + i,
             verbose=False)
         res = jax.block_until_ready(
             run_pt(target, prop, jax.random.fold_in(key, i),
@@ -95,8 +119,12 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
                    num_iterations=num_iters, burn_in=burn_in, swap_every=100))
         acc = float(jnp.mean(res.swap_acceptance_rate))
         esjd = float(jnp.mean(res.pt_esjd))
-        rows.append({"target_rate": rate, "ref_acc": ra, "our_acc": acc,
-                     "ref_esjd": re, "our_esjd": esjd, "T": len(ladder)})
+        row = {"target_rate": rate, "ref_acc": ra, "our_acc": acc,
+               "ref_esjd": re, "our_esjd": esjd, "T": len(ladder)}
+        if acc_std[i] is not None:
+            row["ref_acc_se"] = acc_std[i] / n_avg ** 0.5
+            row["ref_acc_seed_std"] = acc_std[i]
+        rows.append(row)
         print(f"  rate={rate:6.4f}  swap-acc ref/ours {ra:.4f}/{acc:.4f}  "
               f"beta-esjd ref/ours {re:.5f}/{esjd:.5f}  T={len(ladder)}",
               flush=True)
@@ -113,6 +141,10 @@ def main(argv=None):
                    help="Evaluate every stride-th grid point")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--N_samples_swap_est", type=int, default=50000)
+    p.add_argument("--iterative_tolerance", type=float, default=0.005,
+                   help="Ladder convergence tolerance (reference production "
+                        "runs use 1e-4, run_pt_gpu.sbatch:30-40)")
+    p.add_argument("--iterative_max_pn_steps", type=int, default=100)
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -131,7 +163,9 @@ def main(argv=None):
     if is_pt:
         rows = run_pt_parity(ref, args.num_iters, args.num_chains,
                              args.burn_in, args.stride, args.seed,
-                             args.N_samples_swap_est)
+                             args.N_samples_swap_est,
+                             args.iterative_tolerance,
+                             args.iterative_max_pn_steps)
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
                               args.burn_in, args.stride, args.seed)
@@ -146,6 +180,9 @@ def main(argv=None):
         "algorithm": "PT" if is_pt else "RWM",
         "max_abs_acc_diff": float(np.max(np.abs(ours_acc - ref_acc))),
         "esjd_curve_corr": float(np.corrcoef(ours_e, ref_e)[0, 1]),
+        "ladder_precision": {"N_samples_swap_est": args.N_samples_swap_est,
+                             "tolerance": args.iterative_tolerance}
+        if is_pt else None,
         "ref_optimum_at": rows[int(np.argmax(ref_e))].get(
             "scale", rows[int(np.argmax(ref_e))].get("target_rate")),
         "our_optimum_at": rows[int(np.argmax(ours_e))].get(
@@ -155,6 +192,16 @@ def main(argv=None):
         "elapsed_s": time.time() - t0,
         "rows": rows,
     }
+    # noise-normalized deltas when comparing against a seed-averaged ref
+    # curve: z = |ours - ref_mean| / single-seed spread.  A point with z <= 2
+    # lies within the population of the reference's own per-seed estimates,
+    # i.e. any residual delta is reference-side noise, not a semantics bug.
+    spreads = np.array([r.get("ref_acc_seed_std", r.get("ref_acc_se", 0)) or 0
+                        for r in rows])
+    if np.all(spreads > 0):
+        z = np.abs(ours_acc - ref_acc) / spreads
+        summary["max_acc_z_vs_seed_spread"] = float(np.max(z))
+        summary["rows_beyond_2sd"] = int(np.sum(z > 2.0))
     print(json.dumps({k: v for k, v in summary.items() if k != "rows"},
                      indent=2))
     if args.out:
