@@ -29,6 +29,10 @@ def main():
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--chains", type=int, default=None)
     parser.add_argument("--iters", type=int, default=None)
+    parser.add_argument("--no-smoke", action="store_true",
+                        help="skip the hardware smoke gate "
+                             "(scripts/tpu_smoke.py) that runs before the "
+                             "headline measurement on TPU")
     args = parser.parse_args()
 
     import jax
@@ -41,6 +45,20 @@ def main():
     from rwm_pt_tpu.targets import FullRosenbrock
 
     on_tpu = jax.default_backend() == "tpu"
+
+    # hardware smoke gate: Pallas-vs-scan statistical agreement (one RWM +
+    # one PT config) so kernel regressions fail the driver's bench run, not
+    # a manual test someone remembers to rerun (scripts/tpu_smoke.py)
+    smoke = None
+    if on_tpu and not args.no_smoke and not args.quick:
+        import os
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "scripts"))
+        from tpu_smoke import run_checks
+        checks = run_checks(all_targets=False)
+        smoke = "ok" if checks.pop("ok") else "fail"
+        print(f"# smoke={smoke}", file=sys.stderr)
+
     dim, T = 30, 10
     if args.quick:
         C = args.chains or 256
@@ -93,13 +111,16 @@ def main():
     swap_acc = float(res.swap_acceptance_rate.mean())
     cold_esjd = float(res.cold_esjd.mean())
 
-    print(json.dumps({
+    line = {
         "metric": "PT-RWM MH steps/s/chip (30-d FullRosenbrock, 10 rungs, "
                   f"{C} replicas)",
         "value": value,
         "unit": "MH steps/s",
         "vs_baseline": value / BASELINE_MH_STEPS_PER_SEC,
-    }))
+    }
+    if smoke is not None:
+        line["smoke"] = smoke
+    print(json.dumps(line))
     print(f"# backend={jax.default_backend()} steady={steady:.3f}s "
           f"first(incl compile)={compile_and_first:.3f}s "
           f"swap_acc={swap_acc:.3f} cold_esjd={cold_esjd:.4f}",

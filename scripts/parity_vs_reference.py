@@ -49,7 +49,9 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
     from rwm_pt_tpu.targets import get_target_distribution
 
     dim = ref["dimension"]
-    target = get_target_distribution(ref["target_distribution"], dim)
+    # RWM_GPU data was produced by experiment_RWM_GPU.py's factory constants
+    target = get_target_distribution(ref["target_distribution"], dim,
+                                     variant="rwm_gpu")
     # two reference schema generations ('var_value_range' older,
     # 'scale_param_range' newer); both store the *scale parameter* v with
     # proposal variance = v^2/dim (experiment_RWM.py:52,
@@ -87,7 +89,8 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
 
 
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
-                  n_samples_swap_est, tolerance, max_pn_steps):
+                  n_samples_swap_est, tolerance, max_pn_steps,
+                  ladder_device=None):
     import jax
     import jax.numpy as jnp
 
@@ -97,7 +100,11 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
     from rwm_pt_tpu.targets import get_target_distribution
 
     dim = ref["dimension"]
-    target = get_target_distribution(ref["target_distribution"], dim)
+    # PT_GPU data was produced by experiment_pt_GPU.py's factory constants
+    # (RoughCarpet modes +-15, ThreeMixture centers +-15*e1 — NOT the RWM
+    # factory's; see targets/registry.py docstring)
+    target = get_target_distribution(ref["target_distribution"], dim,
+                                     variant="pt_gpu")
     grid = ref["swap_acceptance_rates_range"][::stride]
     ref_acc = ref["acceptance_rates"][::stride]
     ref_esjd = ref["expected_squared_jump_distances"][::stride]
@@ -106,13 +113,29 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
     prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
     key = jax.random.key(seed)
 
+    # ladder probes fetch one scalar per Robbins-Monro step; over the TPU
+    # tunnel each fetch (and each operand transfer) costs seconds, so
+    # --ladder_device cpu keeps the (cheap, even at 1e6 samples) probes
+    # host-side — target params included — while the PT runs stay on-chip
+    import contextlib
+    if ladder_device:
+        dev = jax.devices(ladder_device)[0]
+        ladder_ctx = jax.default_device(dev)
+        ladder_target = jax.device_put(target, dev)
+    else:
+        ladder_ctx = contextlib.nullcontext()
+        ladder_target = target
+
     rows = []
     for i, (rate, ra, re) in enumerate(zip(grid, ref_acc, ref_esjd)):
-        ladder = construct_iterative_ladder(
-            target, target_swap_acceptance_rate=float(rate),
-            N_samples_swap_est=n_samples_swap_est, tolerance=tolerance,
-            max_pn_adjustment_steps=max_pn_steps, seed=seed + i,
-            verbose=False)
+        t_lad = time.time()
+        with ladder_ctx:
+            ladder = construct_iterative_ladder(
+                ladder_target, target_swap_acceptance_rate=float(rate),
+                N_samples_swap_est=n_samples_swap_est, tolerance=tolerance,
+                max_pn_adjustment_steps=max_pn_steps, seed=seed + i,
+                verbose=False)
+        t_lad = time.time() - t_lad
         res = jax.block_until_ready(
             run_pt(target, prop, jax.random.fold_in(key, i),
                    jnp.asarray(ladder, jnp.float32), num_chains=num_chains,
@@ -126,8 +149,8 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
             row["ref_acc_seed_std"] = acc_std[i]
         rows.append(row)
         print(f"  rate={rate:6.4f}  swap-acc ref/ours {ra:.4f}/{acc:.4f}  "
-              f"beta-esjd ref/ours {re:.5f}/{esjd:.5f}  T={len(ladder)}",
-              flush=True)
+              f"beta-esjd ref/ours {re:.5f}/{esjd:.5f}  T={len(ladder)}  "
+              f"(ladder {t_lad:.0f}s)", flush=True)
     return rows
 
 
@@ -145,6 +168,11 @@ def main(argv=None):
                    help="Ladder convergence tolerance (reference production "
                         "runs use 1e-4, run_pt_gpu.sbatch:30-40)")
     p.add_argument("--iterative_max_pn_steps", type=int, default=100)
+    p.add_argument("--ladder_device", type=str, default=None,
+                   help="Run ladder-construction probes on this JAX platform "
+                        "(e.g. 'cpu') while the PT runs stay on the default "
+                        "backend — avoids per-probe scalar fetches over the "
+                        "TPU tunnel")
     p.add_argument("--out", type=str, default=None)
     p.add_argument("--cpu", action="store_true")
     args = p.parse_args(argv)
@@ -165,7 +193,8 @@ def main(argv=None):
                              args.burn_in, args.stride, args.seed,
                              args.N_samples_swap_est,
                              args.iterative_tolerance,
-                             args.iterative_max_pn_steps)
+                             args.iterative_max_pn_steps,
+                             ladder_device=args.ladder_device)
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
                               args.burn_in, args.stride, args.seed)
