@@ -85,8 +85,14 @@ class MCMCSimulation:
                              "proposal_config must be provided")
 
         if isinstance(target_dist, str):
-            target_dist = get_target_distribution(target_dist, dim,
-                                                  **(target_kwargs or {}))
+            tk = dict(target_kwargs or {})
+            # pick the reference factory whose constants produced the
+            # matching data family: experiment_pt_GPU.py for PT,
+            # experiment_RWM_GPU.py for RWM (targets/registry.py docstring)
+            tk.setdefault("variant",
+                          "pt_gpu" if str(algorithm).upper().startswith("P")
+                          else "rwm_gpu")
+            target_dist = get_target_distribution(target_dist, dim, **tk)
         if target_dist is None:
             raise ValueError("target_dist is required")
 

@@ -41,6 +41,9 @@ def run_study(dim, target_name="ThreeMixture", num_iters=200000,
           f"Burn-in: {burn_in}, Seed: {seed}, Chains: {num_chains}")
     print("=" * 60)
 
+    # the PT sweep data in the reference comes from experiment_pt_GPU.py's
+    # factory (multimodal centers +-15) — see targets/registry.py docstring
+    kwargs.setdefault("variant", "pt_gpu")
     target = get_target_distribution(target_name, dim, **kwargs)
     actual_dim = target.dim
     swap_rates_range = np.linspace(0.01, swap_accept_max, num_configs)

@@ -28,6 +28,9 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
     from ..api import MCMCSimulation
     from ..targets import get_target_distribution
 
+    # single_run_experiment.py:30-33 builds the torch classes with their own
+    # defaults (multimodal centers +-5) — the "class" variant
+    kwargs.setdefault("variant", "class")
     target = get_target_distribution(target_name, dim, **kwargs)
     actual_dim = target.dim
     cfg = build_proposal_config(proposal_name, scale_param, actual_dim)

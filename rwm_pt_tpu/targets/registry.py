@@ -5,6 +5,26 @@ switchboard across three experiment scripts
 (/root/reference/experiment_RWM_GPU.py:21-163, experiment_pt_GPU.py:21-163,
 single_run_experiment.py:20-111).  This module is the single TPU-native
 replacement; names and factory defaults match the reference CLIs.
+
+IMPORTANT — the reference's factories disagree on the multimodal constants,
+and the committed data files inherit whichever factory produced them:
+
+* ``experiment_RWM_GPU.py:36-55`` (torch factory): RoughCarpet modes
+  ``(-4, 0, 4)``; ThreeMixture centers ``(+-5)*e1``.  -> all ``*_RWM_GPU_*``
+  data files.
+* ``experiment_pt_GPU.py:34-65`` (torch factory): RoughCarpet modes
+  ``(-15, 0, 15)``; ThreeMixture centers ``(+-15)*e1``.  -> all ``*_PT_GPU_*``
+  data files.
+* the numpy classes used by the CPU scripts
+  (``target_distributions/multimodal.py:19-20,74-75``) also use +-15.
+* ``single_run_experiment.py:30-33`` builds the torch classes with their
+  own defaults: RoughCarpet ``(-5, 0, 5)``, ThreeMixture ``(+-5)*e1``
+  (``multimodal_torch.py:359-364``).
+
+``variant`` selects the constant set: ``"rwm_gpu"`` (default, backward
+compatible), ``"pt_gpu"``, ``"cpu"`` (same constants as ``"pt_gpu"``), or
+``"class"`` (the torch class defaults).  Explicit
+``mode_centers``/``mode_weights`` kwargs always win.
 """
 from __future__ import annotations
 
@@ -35,8 +55,24 @@ def calculate_super_funnel_dim(J: int, K: int) -> int:
     return J + J * K + 1 + K + 1 + 1
 
 
-def get_target_distribution(name: str, dim: int, **kwargs):
-    """Build a target by CLI name with the reference's factory defaults."""
+_VARIANTS = ("rwm_gpu", "pt_gpu", "cpu", "class")
+# RoughCarpet mode centers per reference factory (see module docstring)
+_RC_CENTERS = {"rwm_gpu": [-4.0, 0.0, 4.0], "pt_gpu": [-15.0, 0.0, 15.0],
+               "cpu": [-15.0, 0.0, 15.0], "class": [-5.0, 0.0, 5.0]}
+# ThreeMixture first-coordinate mode offset per reference factory
+_TM_OFFSET = {"rwm_gpu": 5.0, "pt_gpu": 15.0, "cpu": 15.0, "class": 5.0}
+
+
+def get_target_distribution(name: str, dim: int, variant: str = "rwm_gpu",
+                            **kwargs):
+    """Build a target by CLI name with the reference's factory defaults.
+
+    ``variant``: which reference factory's multimodal constants to use (see
+    module docstring) — only RoughCarpet/ThreeMixture differ across variants.
+    """
+    if variant not in _VARIANTS:
+        raise ValueError(f"Unknown variant {variant!r}; expected one of "
+                         f"{_VARIANTS}")
     if name == "MultivariateNormal":
         return MultivariateNormal.create(dim, mean=kwargs.get("mean"),
                                          cov=kwargs.get("cov"))
@@ -45,16 +81,16 @@ def get_target_distribution(name: str, dim: int, **kwargs):
             dim, scaling_factors=kwargs.get("scaling_factors"),
             seed=kwargs.get("seed", 0))
     if name in ("RoughCarpet", "RoughCarpetScaled"):
-        # factory default centers (-4, 0, 4) (experiment_RWM_GPU.py:36-45)
         return RoughCarpet.create(
             dim, scaling=name.endswith("Scaled"),
-            mode_centers=kwargs.get("mode_centers", [-4.0, 0.0, 4.0]),
+            mode_centers=kwargs.get("mode_centers", _RC_CENTERS[variant]),
             mode_weights=kwargs.get("mode_weights", [0.5, 0.3, 0.2]),
             seed=kwargs.get("seed", 0))
     if name in ("ThreeMixture", "ThreeMixtureScaled"):
-        default_centers = [[-5.0] + [0.0] * (dim - 1),
+        off = _TM_OFFSET[variant]
+        default_centers = [[-off] + [0.0] * (dim - 1),
                            [0.0] * dim,
-                           [5.0] + [0.0] * (dim - 1)]
+                           [off] + [0.0] * (dim - 1)]
         return ThreeMixture.create(
             dim, scaling=name.endswith("Scaled"),
             mode_centers=kwargs.get("mode_centers", default_centers),
