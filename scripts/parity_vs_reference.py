@@ -160,6 +160,18 @@ def main(argv=None):
     p.add_argument("--num_iters", type=int, default=20000)
     p.add_argument("--num_chains", type=int, default=512)
     p.add_argument("--burn_in", type=int, default=1000)
+    p.add_argument("--match_protocol", action="store_true",
+                   help="Use the ref file's num_iterations and the reference "
+                        "run_study burn-in (1000).  REQUIRED for faithful "
+                        "comparison on slow-mixing targets (Rosenbrock, "
+                        "funnel, multimodal PT): the reference's committed "
+                        "curves are trajectory averages over its exact "
+                        "protocol (origin init, 1e5-1e6 steps, single chain) "
+                        "and have not fully equilibrated — e.g. "
+                        "EvenRosenbrock d10 at the ref optimum reports 0.154 "
+                        "while the true stationary acceptance (exact-sampler "
+                        "init) is 0.118.  Short runs sit on a different part "
+                        "of the transient and disagree with both.")
     p.add_argument("--stride", type=int, default=1,
                    help="Evaluate every stride-th grid point")
     p.add_argument("--seed", type=int, default=0)
@@ -183,6 +195,9 @@ def main(argv=None):
 
     ref = json.load(open(args.ref_file))
     is_pt = "swap_acceptance_rates_range" in ref
+    if args.match_protocol:
+        args.num_iters = int(ref["num_iterations"])
+        args.burn_in = 1000  # reference run_study default (experiment_*.py)
     print(f"Parity vs {os.path.basename(args.ref_file)} "
           f"({'PT' if is_pt else 'RWM'}, {ref['target_distribution']} "
           f"d={ref['dimension']}; ref {ref['num_iterations']} iters / 1 chain, "
@@ -207,6 +222,9 @@ def main(argv=None):
     summary = {
         "ref_file": os.path.basename(args.ref_file),
         "algorithm": "PT" if is_pt else "RWM",
+        "protocol": {"num_iters": args.num_iters, "burn_in": args.burn_in,
+                     "num_chains": args.num_chains,
+                     "matched": bool(args.match_protocol)},
         "max_abs_acc_diff": float(np.max(np.abs(ours_acc - ref_acc))),
         "esjd_curve_corr": float(np.corrcoef(ours_e, ref_e)[0, 1]),
         "ladder_precision": {"N_samples_swap_est": args.N_samples_swap_est,
