@@ -90,7 +90,7 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
 
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
                   n_samples_swap_est, tolerance, max_pn_steps,
-                  ladder_device=None):
+                  ladder_device=None, partial_out=None):
     import jax
     import jax.numpy as jnp
 
@@ -151,6 +151,12 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
         print(f"  rate={rate:6.4f}  swap-acc ref/ours {ra:.4f}/{acc:.4f}  "
               f"beta-esjd ref/ours {re:.5f}/{esjd:.5f}  T={len(ladder)}  "
               f"(ladder {t_lad:.0f}s)", flush=True)
+        if partial_out:
+            # checkpoint per point: PT ladders cost minutes each, so a
+            # timeout mid-sweep should not lose the finished points
+            json.dump({"ref_file": os.path.basename(partial_out),
+                       "partial": True, "rows": rows},
+                      open(partial_out + ".partial", "w"))
     return rows
 
 
@@ -209,7 +215,8 @@ def main(argv=None):
                              args.N_samples_swap_est,
                              args.iterative_tolerance,
                              args.iterative_max_pn_steps,
-                             ladder_device=args.ladder_device)
+                             ladder_device=args.ladder_device,
+                             partial_out=args.out)
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
                               args.burn_in, args.stride, args.seed)
