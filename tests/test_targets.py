@@ -218,3 +218,36 @@ def test_targets_are_jittable_pytrees(key):
 
     x = jax.random.normal(key, (6, 32))
     np.testing.assert_allclose(f(tgt, x), tgt.log_density_td(x), rtol=1e-6)
+
+
+def test_registry_variant_constants():
+    """Each reference factory's multimodal constants must be reproduced
+    exactly (registry docstring; experiment_RWM_GPU.py:36-55 vs
+    experiment_pt_GPU.py:34-65 vs single_run_experiment.py:30-33)."""
+    import numpy as np
+    from rwm_pt_tpu.targets import get_target_distribution
+
+    rc = {v: get_target_distribution("RoughCarpet", 4, variant=v)
+          for v in ("rwm_gpu", "pt_gpu", "cpu", "class")}
+    np.testing.assert_allclose(rc["rwm_gpu"].modes, [-4.0, 0.0, 4.0])
+    np.testing.assert_allclose(rc["pt_gpu"].modes, [-15.0, 0.0, 15.0])
+    np.testing.assert_allclose(rc["cpu"].modes, [-15.0, 0.0, 15.0])
+    np.testing.assert_allclose(rc["class"].modes, [-5.0, 0.0, 5.0])
+
+    tm = {v: get_target_distribution("ThreeMixture", 4, variant=v)
+          for v in ("rwm_gpu", "pt_gpu")}
+    assert float(tm["rwm_gpu"].means[0][0]) == -5.0
+    assert float(tm["pt_gpu"].means[0][0]) == -15.0
+    # weights are variant-independent
+    np.testing.assert_allclose(rc["pt_gpu"].weights, [0.5, 0.3, 0.2])
+    np.testing.assert_allclose(np.asarray(tm["pt_gpu"].weights),
+                               [1 / 3] * 3, rtol=1e-6)
+
+    # explicit kwargs always override the variant default
+    custom = get_target_distribution("RoughCarpet", 4, variant="pt_gpu",
+                                     mode_centers=[-1.0, 0.0, 1.0])
+    np.testing.assert_allclose(custom.modes, [-1.0, 0.0, 1.0])
+
+    import pytest
+    with pytest.raises(ValueError):
+        get_target_distribution("RoughCarpet", 4, variant="nope")
