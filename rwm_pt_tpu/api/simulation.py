@@ -25,6 +25,10 @@ from ..parallel import make_mesh, shard_init_states
 from ..proposals import create_proposal_distribution
 from ..targets import get_target_distribution
 from ..targets.base import TargetMixin
+# force(): sync via a 1-scalar fetch — jax.block_until_ready does not
+# reliably block over the tunneled axon TPU platform, which would let every
+# walltime/progress measurement read queued-but-unfinished work as done
+from ..utils import force
 from ..utils.dtypes import default_float
 
 _RECORD_LIMIT = 2_000_000  # max recorded floats per run before auto-thinning
@@ -84,14 +88,19 @@ class MCMCSimulation:
             raise ValueError("Either sigma (backward compatibility) or "
                              "proposal_config must be provided")
 
+        # algorithm may be a string or a class (simulation_gpu.py:81-141);
+        # resolve PT-ness once, before target resolution, so the variant
+        # default below can't diverge from the dispatch predicate
+        algo = algorithm if isinstance(algorithm, str) else getattr(
+            algorithm, "__name__", str(algorithm))
+        is_pt = "PT" in algo.upper() or "PARALLELTEMPERING" in algo.upper()
+
         if isinstance(target_dist, str):
             tk = dict(target_kwargs or {})
             # pick the reference factory whose constants produced the
             # matching data family: experiment_pt_GPU.py for PT,
             # experiment_RWM_GPU.py for RWM (targets/registry.py docstring)
-            tk.setdefault("variant",
-                          "pt_gpu" if str(algorithm).upper().startswith("P")
-                          else "rwm_gpu")
+            tk.setdefault("variant", "pt_gpu" if is_pt else "rwm_gpu")
             target_dist = get_target_distribution(target_dist, dim, **tk)
         if target_dist is None:
             raise ValueError("target_dist is required")
@@ -120,9 +129,7 @@ class MCMCSimulation:
         self.key = jax.random.key(self.seed, impl=rng_impl)
         self.symmetric = symmetric
 
-        algo = algorithm if isinstance(algorithm, str) else getattr(
-            algorithm, "__name__", str(algorithm))
-        self.is_pt = "PT" in algo.upper() or "PARALLELTEMPERING" in algo.upper()
+        self.is_pt = is_pt
         self.algorithm_name = ("PT_RWM_TPU" if self.is_pt else "RWM_TPU")
 
         if self.is_pt:
@@ -253,6 +260,7 @@ class MCMCSimulation:
         if engine not in ("auto", "pallas", "scan"):
             raise ValueError("engine must be 'auto', 'pallas', or 'scan'")
         self.engine = engine
+        self._engine_used = None   # engine of the last run ("scan"/"pallas")
         self._result = None
         self._chain_np = None
         self._elapsed = None
@@ -341,23 +349,58 @@ class MCMCSimulation:
         the initial state and burn-in samples
         (rwm_gpu_optimized.py:475-488, pt_rwm_gpu_optimized.py:760-770).
 
+        ``progress_bar=True`` emits periodic in-run progress lines (the
+        compiled analogue of the reference's tqdm + samples/s prints,
+        interfaces/simulation.py:46, rwm_gpu_optimized.py:459-467): the scan
+        engine reports from inside the compiled loop via
+        ``jax.debug.callback`` (trajectory unchanged); the Pallas engine runs
+        in segments and reports between them (statistically equivalent run,
+        same contract as :meth:`resume`).
+
         ``checkpoint_every``/``checkpoint_path``: persist the full sampler
         state to ``checkpoint_path`` every ``checkpoint_every`` post-burn-in
         iterations, so a killed long run resumes from the last segment via
         :meth:`resume` (fault tolerance for pod runs — SURVEY.md §5 lists
-        mid-run persistence as absent from the reference).  Segmentation is
-        *bitwise-free*: per-step randomness is keyed on the absolute step
-        counter, so a segmented run equals the uninterrupted run exactly.
-        Requires ``record_chain=False`` and the scan engine.
+        mid-run persistence as absent from the reference).  On the scan
+        engine segmentation is *bitwise-free*: per-step randomness is keyed
+        on the absolute step counter, so a segmented run equals the
+        uninterrupted run exactly.  On the Pallas engine cumulative
+        accounting is exact but the continuation is statistical.  Requires
+        ``record_chain=False``.
         """
         if self.has_run():
             raise ValueError("Please reset the algorithm before running it again.")
         if checkpoint_every:
-            return self._generate_samples_checkpointed(
-                checkpoint_every, checkpoint_path, verbose)
+            if checkpoint_path is None:
+                raise ValueError("checkpoint_every requires checkpoint_path")
+            if self.autotune or self.autotune_ladder:
+                raise ValueError("autotune and checkpoint_every cannot be "
+                                 "combined (the adaptive kernels are not "
+                                 "resumable mid-adaptation)")
+            if self.num_iterations <= 0:
+                raise ValueError("checkpoint_every requires num_iterations > 0")
+            if self.record_chain:
+                raise ValueError("periodic checkpointing requires "
+                                 "record_chain=False (thinned traces cannot "
+                                 "be stitched across segments)")
+            if self.engine == "pallas" and self.mesh is not None:
+                raise ValueError("periodic checkpointing on the Pallas "
+                                 "engine requires no mesh (the sharded "
+                                 "Pallas runner is not resumable); drop the "
+                                 "mesh or use engine='scan'")
+            return self._generate_samples_segmented(
+                checkpoint_every, checkpoint_path, verbose,
+                progress=progress_bar)
+        progress_every = None
+        if progress_bar and not (self.autotune or self.autotune_ladder):
+            # ~20 in-run updates, but never chattier than the reference's
+            # every-1000-steps prints (rwm_gpu_optimized.py:459-467)
+            progress_every = max(1000,
+                                 (self.burn_in + self.num_iterations) // 20)
         start = time.time()
         rec = self.record_every if self.record_chain else None
         init_states = self._init_states()
+        self._engine_used = "scan"
         if self.autotune:
             from ..kernels import run_pt_adaptive, run_rwm_adaptive
             if self.is_pt:
@@ -376,7 +419,7 @@ class MCMCSimulation:
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
                     target_accept=self.autotune_target,
                     adapt_every=self.autotune_every, init_states=init_states)
-            tuned = jax.block_until_ready(tuned)
+            tuned = force(tuned)
             self._tuned = tuned
             self._result = tuned.result
             self._elapsed = time.time() - start
@@ -397,7 +440,7 @@ class MCMCSimulation:
                 adapt_every=self.autotune_every,
                 target_swap_accept=self._target_swap_accept,
                 beta_min=self._beta_min, init_states=init_states)
-            tuned = jax.block_until_ready(tuned)
+            tuned = force(tuned)
             self._tuned_ladder = np.asarray(tuned.tuned_betas)
             # the tuned ladder becomes the run's ladder: diagnostics, JSON
             # output and follow-up runs all see the adapted betas
@@ -410,6 +453,17 @@ class MCMCSimulation:
                       f"(target swap acceptance {self._target_swap_accept})")
             return None
         if self._use_pallas():
+            self._engine_used = "pallas"
+            if progress_every and self.mesh is None and not self.record_chain:
+                # Pallas kernels run the whole batch on-chip with no host
+                # callbacks; liveness comes from segmenting the run instead
+                return self._generate_samples_segmented(
+                    max(1, (self.burn_in + self.num_iterations) // 10),
+                    None, verbose, progress=True)
+            if progress_every and verbose:
+                print("  (in-run progress is unavailable for recorded or "
+                      "sharded Pallas runs; use engine='scan' for live "
+                      "progress)")
             from ..kernels import (run_pt_pallas, run_pt_pallas_sharded,
                                    run_rwm_pallas, run_rwm_pallas_sharded)
             if self.mesh is not None and self.is_pt:
@@ -448,15 +502,17 @@ class MCMCSimulation:
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
                          init_states=init_states, symmetric=self.symmetric,
-                         record_every=rec, record_chains=self.record_chains)
+                         record_every=rec, record_chains=self.record_chains,
+                         progress_every=progress_every)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                           num_chains=self.num_chains,
                           num_iterations=self.num_iterations,
                           burn_in=self.burn_in, init_states=init_states,
                           symmetric=self.symmetric,
-                          record_every=rec, record_chains=self.record_chains)
-        res = jax.block_until_ready(res)
+                          record_every=rec, record_chains=self.record_chains,
+                          progress_every=progress_every)
+        res = force(res)
         self._elapsed = time.time() - start
         self._result = res
 
@@ -472,58 +528,77 @@ class MCMCSimulation:
                   f"({total_steps / self._elapsed:,.0f} MH steps/s)")
         return self._chain_np
 
-    def _generate_samples_checkpointed(self, checkpoint_every: int,
-                                       checkpoint_path: Optional[str],
-                                       verbose: bool):
-        """Segmented run with a checkpoint written after every segment.
+    def _generate_samples_segmented(self, segment_every: int,
+                                    checkpoint_path: Optional[str],
+                                    verbose: bool, progress: bool = False):
+        """Segmented run: a checkpoint is written after every segment when
+        ``checkpoint_path`` is set; per-segment progress lines are printed
+        when ``progress`` is True (the Pallas engine's ``progress_bar``
+        path — its kernels host no in-loop callbacks).
 
-        The kernels derive per-step keys by folding the absolute step counter
-        (kernels/rwm.py:129-133), so passing the same base key to every
-        segment continues the stream exactly where the previous segment left
-        it — segment boundaries do not perturb the trajectory."""
-        if checkpoint_path is None:
-            raise ValueError("checkpoint_every requires checkpoint_path")
-        if self.autotune:
-            raise ValueError("autotune and checkpoint_every cannot be "
-                             "combined (the adaptive kernels are not "
-                             "resumable mid-adaptation)")
-        if self.engine == "pallas":
-            raise ValueError("periodic checkpointing runs on the scan "
-                             "engine; it cannot honor engine='pallas'")
-        if self.num_iterations <= 0:
-            raise ValueError("checkpoint_every requires num_iterations > 0")
-        if self.record_chain:
-            raise ValueError("periodic checkpointing requires "
-                             "record_chain=False (thinned traces cannot be "
-                             "stitched across segments)")
+        Scan engine: the kernels derive per-step keys by folding the absolute
+        step counter (kernels/rwm.py:152-157), so passing the same base key
+        to every segment continues the stream exactly where the previous
+        segment left it — segment boundaries do not perturb the trajectory.
+        Pallas engine: cumulative accounting (accept counts, ESJD sums, step)
+        is exact across segments, but the hardware PRNG reseeds per segment
+        from a step-folded key, so the segmented run is *statistically* — not
+        bitwise — equal to the unsegmented one (same contract as
+        :meth:`resume` on Pallas)."""
+        use_pallas = self._use_pallas() and self.mesh is None
+        self._engine_used = "pallas" if use_pallas else "scan"
         start = time.time()
         state = None
         done = 0
+        T = len(self.beta_ladder) if self.is_pt else 1
         while done < self.num_iterations:
-            n = min(checkpoint_every, self.num_iterations - done)
-            if self.is_pt:
+            n = min(segment_every, self.num_iterations - done)
+            seg_start = time.time()
+            seg_steps = (n + (self.burn_in if state is None else 0))
+            init = self._init_states() if state is None else None
+            if use_pallas:
+                from ..kernels import run_pt_pallas, run_rwm_pallas
+                if self.is_pt:
+                    res = run_pt_pallas(
+                        self.target_dist, self.key,
+                        jnp.asarray(self.beta_ladder, default_float()),
+                        proposal=self.proposal_dist,
+                        num_chains=self.num_chains, num_iterations=n,
+                        burn_in=self.burn_in, swap_every=self.swap_every,
+                        init_states=init, resume_state=state)
+                else:
+                    res = run_rwm_pallas(
+                        self.target_dist, self.key,
+                        proposal=self.proposal_dist,
+                        num_chains=self.num_chains, num_iterations=n,
+                        burn_in=self.burn_in,
+                        init_states=init, resume_state=state)
+            elif self.is_pt:
                 res = run_pt(self.target_dist, self.proposal_dist, self.key,
                              jnp.asarray(self.beta_ladder, default_float()),
                              num_chains=self.num_chains, num_iterations=n,
                              burn_in=self.burn_in, swap_every=self.swap_every,
                              cpu_semantics=self.cpu_semantics,
-                             init_states=(self._init_states() if state is None
-                                          else None),
+                             init_states=init,
                              symmetric=self.symmetric, resume_state=state)
             else:
                 res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                               num_chains=self.num_chains, num_iterations=n,
-                              burn_in=self.burn_in,
-                              init_states=(self._init_states() if state is None
-                                           else None),
+                              burn_in=self.burn_in, init_states=init,
                               symmetric=self.symmetric, resume_state=state)
-            res = jax.block_until_ready(res)
+            res = force(res)
             state = res.state
             done += n
-            self._write_state(state, checkpoint_path)
-            if verbose:
-                print(f"  checkpoint @ {done}/{self.num_iterations} "
-                      f"iterations -> {checkpoint_path}")
+            if checkpoint_path:
+                self._write_state(state, checkpoint_path)
+                if verbose:
+                    print(f"  checkpoint @ {done}/{self.num_iterations} "
+                          f"iterations -> {checkpoint_path}")
+            if progress and verbose:
+                rate = (seg_steps * self.num_chains * T
+                        / max(time.time() - seg_start, 1e-9))
+                print(f"  progress: {done:,}/{self.num_iterations:,} "
+                      f"iterations ({rate:,.0f} MH steps/s)", flush=True)
         self._result = res
         self._elapsed = time.time() - start
         if verbose:
@@ -594,6 +669,7 @@ class MCMCSimulation:
             "num_iterations": self.num_iterations,
             "burn_in": self.burn_in,
             "elapsed_seconds": self._elapsed,
+            "engine": self._engine_used,
             "acceptance_rate": self.acceptance_rate(),
             "esjd": self.expected_squared_jump_distance(),
             "optimization_level": "FULLY_COMPILED_LAX_SCAN",
@@ -681,6 +757,10 @@ class MCMCSimulation:
                      "num_chains": self.num_chains,
                      "beta_ladder": (list(map(float, self.beta_ladder))
                                      if self.beta_ladder else None),
+                     # which engine produced this state: resume() honors it
+                     # so a scan checkpoint's bitwise continuation contract
+                     # can't silently degrade to Pallas' statistical one
+                     "engine": self._engine_used,
                  }))
 
     def save_checkpoint(self, path: str):
@@ -713,19 +793,29 @@ class MCMCSimulation:
 
         Resume contract (scan engine): the kernels derive per-step randomness
         by folding the *absolute* step counter into the run key
-        (kernels/rwm.py:141-145), so passing the same base key continues the
+        (kernels/rwm.py:152-157), so passing the same base key continues the
         stream exactly where the checkpoint left it — a crash-resumed run is
         bit-identical to the uninterrupted one (same contract as
         ``checkpoint_every`` segments; enforced by
         tests/test_resume_and_utils.py).  On the Pallas engine the
         continuation is statistical (the hardware PRNG re-seeds from a
-        step-folded key) with exact cumulative accounting."""
+        step-folded key) with exact cumulative accounting.
+
+        The checkpoint records the engine that wrote it; a scan-written
+        checkpoint always resumes on the scan engine (preserving the bitwise
+        contract) even when Pallas would otherwise be auto-selected.  A
+        Pallas-written checkpoint resumes on Pallas when eligible, else scan
+        (its contract is already statistical, so nothing degrades)."""
         from ..kernels import run_pt, run_rwm
         state, meta = self.restore_state(path)
         n = num_iterations or self.num_iterations
         start = time.time()
         key = self.key
-        if self._use_pallas() and self.mesh is None:
+        want_pallas = self._use_pallas() and self.mesh is None
+        if meta.get("engine") == "scan":
+            want_pallas = False
+        self._engine_used = "pallas" if want_pallas else "scan"
+        if want_pallas:
             from ..kernels import run_pt_pallas, run_rwm_pallas
             if self.is_pt:
                 res = run_pt_pallas(
@@ -739,7 +829,7 @@ class MCMCSimulation:
                     self.target_dist, key, proposal=self.proposal_dist,
                     num_chains=self.num_chains, num_iterations=n,
                     burn_in=self.burn_in, resume_state=state)
-            self._result = jax.block_until_ready(res)
+            self._result = force(res)
             self._chain_np = None
             self._elapsed = time.time() - start
             return self._result
@@ -755,7 +845,7 @@ class MCMCSimulation:
                           num_chains=self.num_chains, num_iterations=n,
                           burn_in=self.burn_in, symmetric=self.symmetric,
                           resume_state=state)
-        self._result = jax.block_until_ready(res)
+        self._result = force(res)
         # the resumed segment records no chain and has its own walltime;
         # stale values from the first segment must not leak into plots or
         # get_diagnostic_info
@@ -842,8 +932,14 @@ class MCMCSimulation:
 
     def samples_histogram(self, num_bins: int = 50, axis: int = 0,
                           show: bool = False, output_dir: str = "images"):
-        """Histogram + marginal target-density overlay
-        (simulation_gpu.py:345-378)."""
+        """Histogram + target-density overlay (simulation_gpu.py:345-378).
+
+        Unlike the reference — which always overlays the joint density with
+        every *other* coordinate pinned to 0 (the conditional slice; wrong
+        curve for correlated or non-product targets) — this overlays the true
+        1-D marginal whenever the target implements ``marginal_density``
+        (products, MVN, mixtures, NealFunnel), and falls back to the slice
+        with an explicit label otherwise (Rosenbrocks, SuperFunnel)."""
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
@@ -855,11 +951,17 @@ class MCMCSimulation:
         lo = min(-20.0, float(samples.min()) - 2)
         hi = max(20.0, float(samples.max()) + 2)
         xs = np.linspace(lo, hi, 1000)
-        pts = np.zeros((1000, self.dim), np.float32)
-        pts[:, axis] = xs
-        ys = np.asarray(self.target_dist.density(jnp.asarray(pts)))
+        ys = self.target_dist.marginal_density(axis, jnp.asarray(xs))
+        if ys is not None:
+            ys = np.asarray(ys)
+            label = "Target marginal density"
+        else:
+            pts = np.zeros((1000, self.dim), np.float32)
+            pts[:, axis] = xs
+            ys = np.asarray(self.target_dist.density(jnp.asarray(pts)))
+            label = "Target density (conditional slice, others=0)"
         plt.plot(xs, ys, color="red", linestyle="--", linewidth=2,
-                 label="Target Density")
+                 label=label)
         plt.xlabel("Value")
         plt.ylabel("Density")
         plt.legend()

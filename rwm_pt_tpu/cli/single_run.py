@@ -104,6 +104,11 @@ def run_single_simulation(dim, target_name, num_iters, scale_param, seed,
         axes = np.atleast_1d(axes)
         for i in range(ndp):
             axes[i].hist(chain[:, i], bins=60, density=True, alpha=0.6)
+            # true 1-D marginal overlay where tractable (targets/base.py)
+            xs = np.linspace(chain[:, i].min() - 1, chain[:, i].max() + 1, 400)
+            ys = sim.target_dist.marginal_density(i, xs)
+            if ys is not None:
+                axes[i].plot(xs, np.asarray(ys), "r--", lw=1.5)
             axes[i].set_title(f"dim {i + 1}")
         fig.suptitle(f"Marginals - {target_name} ({sim.algorithm_name})")
         out = (f"{images_dir}/marginals_{target_name}_{sim.algorithm_name}_"

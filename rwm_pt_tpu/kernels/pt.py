@@ -35,6 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 from ..utils.dtypes import default_float
+from .rwm import maybe_report_progress
 
 
 @struct.dataclass
@@ -212,13 +213,14 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
                      "record_every", "record_chains", "unroll",
-                     "cpu_semantics", "symmetric"))
+                     "cpu_semantics", "symmetric", "progress_every"))
 def run_pt(target: Any, proposal: Any, key, betas, *,
            num_chains: int, num_iterations: int, burn_in: int = 0,
            swap_every: int = 100, init_states=None,
            record_every: Optional[int] = None, record_chains: int = 1,
            unroll: int = 2, cpu_semantics: bool = False,
-           resume_state=None, symmetric: bool = True) -> PTResult:
+           resume_state=None, symmetric: bool = True,
+           progress_every: Optional[int] = None) -> PTResult:
     """Run ``burn_in + num_iterations`` PT steps on ``num_chains`` replicas.
 
     ``swap_every`` defaults to 100 like the GPU reference
@@ -235,11 +237,15 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
         state = pt_init(target, k_init, betas, num_chains, init_states)
         total = burn_in + num_iterations
 
+    end_step = state.step + total
+
     def one_step(st, t):
         # key by absolute step counter (resume-safe)
-        return pt_step(st, jax.random.fold_in(k_run, st.step), target,
-                       proposal, betas, burn_in, swap_every, cpu_semantics,
-                       symmetric=symmetric)
+        st = pt_step(st, jax.random.fold_in(k_run, st.step), target,
+                     proposal, betas, burn_in, swap_every, cpu_semantics,
+                     symmetric=symmetric)
+        maybe_report_progress(st.step, end_step, progress_every)
+        return st
 
     chain = None
     if record_every:

@@ -48,6 +48,34 @@ class RWMResult(NamedTuple):
     chain: Optional[jax.Array]   # (n_rec, d, C_rec) thinned trace or None
 
 
+def _progress_report(step, end):
+    """Host-side liveness line for ``progress_bar=True`` runs — the compiled
+    analogue of the reference's samples/s prints every 1000 steps
+    (rwm_gpu_optimized.py:459-467).  Invoked via ``jax.debug.callback`` from
+    inside the compiled loop; rate is per chain (multiply by the chain/rung
+    batch for total MH steps/s)."""
+    import time
+    step, end = int(step), int(end)
+    now = time.time()
+    last = getattr(_progress_report, "_last", None)
+    if last and last[0] < step and last[1] < now:
+        rate = (step - last[0]) / (now - last[1])
+        print(f"  progress: step {step:,}/{end:,} "
+              f"({rate:,.0f} steps/s/chain)", flush=True)
+    else:
+        print(f"  progress: step {step:,}/{end:,}", flush=True)
+    _progress_report._last = (step, now)
+
+
+def maybe_report_progress(step, end, progress_every):
+    """Emit a progress callback when ``step`` hits a ``progress_every``
+    multiple (no-op when ``progress_every`` is falsy)."""
+    if progress_every:
+        jax.lax.cond(step % progress_every == 0,
+                     lambda s: jax.debug.callback(_progress_report, s, end),
+                     lambda s: None, step)
+
+
 def rwm_init(target, key, num_chains: int, init_states=None) -> RWMState:
     """Initialize chains with the target's init heuristic
     (reference metropolis.py:22-64)."""
@@ -120,13 +148,15 @@ def rwm_step(state: RWMState, key, target, proposal, beta, burn_in,
 @functools.partial(
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in",
-                     "record_every", "record_chains", "unroll", "symmetric"),
+                     "record_every", "record_chains", "unroll", "symmetric",
+                     "progress_every"),
     donate_argnames=())
 def run_rwm(target: Any, proposal: Any, key, *,
             num_chains: int, num_iterations: int, burn_in: int = 0,
             beta: float = 1.0, init_states=None, resume_state=None,
             record_every: Optional[int] = None, record_chains: int = 1,
-            unroll: int = 4, symmetric: bool = True) -> RWMResult:
+            unroll: int = 4, symmetric: bool = True,
+            progress_every: Optional[int] = None) -> RWMResult:
     """Run ``burn_in + num_iterations`` fused MH steps on ``num_chains`` chains.
 
     Returns per-chain acceptance rate and ESJD with the reference's
@@ -149,11 +179,15 @@ def run_rwm(target: Any, proposal: Any, key, *,
         state = rwm_init(target, k_init, num_chains, init_states)
         total = burn_in + num_iterations
 
+    end_step = state.step + total
+
     def one_step(st, t):
         # key derived from the absolute step counter so resumed runs draw
         # fresh randomness instead of replaying the first segment's stream
-        return rwm_step(st, jax.random.fold_in(k_run, st.step), target,
-                        proposal, beta, burn_in, symmetric=symmetric)
+        st = rwm_step(st, jax.random.fold_in(k_run, st.step), target,
+                      proposal, beta, burn_in, symmetric=symmetric)
+        maybe_report_progress(st.step, end_step, progress_every)
+        return st
 
     chain = None
     if record_every:

@@ -76,6 +76,20 @@ class TargetMixin:
             "manual temperature ladder."
         )
 
+    def marginal_density(self, axis: int, xs):
+        """Exact 1-D marginal density along coordinate ``axis`` at points
+        ``xs`` (shape ``(n,)``), or ``None`` when intractable.
+
+        Used by the histogram overlay (api/simulation.py
+        ``samples_histogram``).  The reference overlays a *conditional slice*
+        — the joint density with every other coordinate pinned to 0
+        (/root/reference/interfaces/simulation_gpu.py:345-378) — which is the
+        wrong curve for correlated targets; targets with tractable marginals
+        override this so the overlay is the true marginal, and the harness
+        falls back to a clearly-labeled slice otherwise.
+        """
+        return None
+
     def init_sample(self, key, n: int):
         """Initial chain states ``(n, dim)``.
 

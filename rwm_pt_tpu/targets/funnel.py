@@ -68,6 +68,24 @@ class NealFunnel(TargetMixin):
         # parity with reference naming: funnel_torch.py:81-82
         return f"{self.name}_D{self.dim}"
 
+    def marginal_density(self, axis: int, xs):
+        """v's marginal is N(mu_v, sigma_v^2) exactly; a z coordinate's
+        marginal p(z) = E_v[N(z | mu_z, e^v)] has no closed form but is a 1-D
+        integral — evaluated by 64-node Gauss-Hermite quadrature over v
+        (error is negligible next to plot resolution)."""
+        import numpy as np
+        xs = jnp.asarray(xs)
+        if axis == 0:
+            xc = xs - self.mu_v
+            return (jnp.exp(-0.5 * xc * xc / self.sigma_v_sq)
+                    / jnp.sqrt(2.0 * jnp.pi * self.sigma_v_sq))
+        t, w = np.polynomial.hermite.hermgauss(64)
+        v = self.mu_v + jnp.sqrt(2.0 * self.sigma_v_sq) * jnp.asarray(t)  # (64,)
+        var_z = jnp.exp(v)[:, None]                                       # (64, 1)
+        zc = (xs[None, :] - self.mu_z)
+        comp = jnp.exp(-0.5 * zc * zc / var_z) / jnp.sqrt(2.0 * jnp.pi * var_z)
+        return jnp.sum(jnp.asarray(w)[:, None] * comp, axis=0) / jnp.sqrt(jnp.pi)
+
 
 @struct.dataclass
 class SuperFunnel(TargetMixin):

@@ -64,6 +64,12 @@ class MultivariateNormal(TargetMixin):
         scale = self.chol / jnp.sqrt(jnp.asarray(beta, z.dtype))
         return self.mean + z @ scale.T
 
+    def marginal_density(self, axis: int, xs):
+        """Gaussian marginal N(mean[axis], cov[axis, axis])."""
+        var = self.cov[axis, axis]
+        xc = jnp.asarray(xs) - self.mean[axis]
+        return jnp.exp(-0.5 * xc * xc / var) / jnp.sqrt(2.0 * jnp.pi * var)
+
 
 @struct.dataclass
 class ScaledMultivariateNormal(TargetMixin):
@@ -102,3 +108,9 @@ class ScaledMultivariateNormal(TargetMixin):
     def get_variances(self):
         """Equivalent per-dim variances 1/c_i^2 (reference :277-279)."""
         return 1.0 / (self.scaling_factors ** 2)
+
+    def marginal_density(self, axis: int, xs):
+        """Product target: marginal = the axis factor c N(c x | 0, 1)."""
+        c = self.scaling_factors[axis]
+        y = c * jnp.asarray(xs)
+        return c * jnp.exp(-0.5 * y * y) / jnp.sqrt(2.0 * jnp.pi)

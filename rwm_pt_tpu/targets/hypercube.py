@@ -48,3 +48,9 @@ class Hypercube(TargetMixin):
         SURVEY.md §7 quirks)."""
         u = jax.random.uniform(key, (n, self.dim), minval=0.2, maxval=0.8)
         return u * (self.right - self.left) + self.left
+
+    def marginal_density(self, axis: int, xs):
+        """Product target: marginal = U(left, right)."""
+        x = jnp.asarray(xs)
+        inside = (x >= self.left) & (x <= self.right)
+        return jnp.where(inside, 1.0 / (self.right - self.left), 0.0)

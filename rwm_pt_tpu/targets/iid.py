@@ -53,6 +53,14 @@ class IIDGamma(TargetMixin):
         """Gamma targets start at 5 + 0.01 N (metropolis.py:32-38)."""
         return 5.0 + 0.01 * jax.random.normal(key, (n, self.dim))
 
+    def marginal_density(self, axis: int, xs):
+        """Product target: marginal = the Gamma(shape, scale) factor."""
+        x = jnp.asarray(xs)
+        safe = jnp.where(x > 0, x, 1.0)
+        ld = ((self.shape - 1) * jnp.log(safe) - safe / self.scale
+              - gammaln(self.shape) - self.shape * jnp.log(self.scale))
+        return jnp.where(x > 0, jnp.exp(ld), 0.0)
+
 
 @struct.dataclass
 class IIDBeta(TargetMixin):
@@ -89,3 +97,14 @@ class IIDBeta(TargetMixin):
         """Beta targets start in U(0.2, 0.8) away from boundaries
         (metropolis.py:22-28)."""
         return jax.random.uniform(key, (n, self.dim), minval=0.2, maxval=0.8)
+
+    def marginal_density(self, axis: int, xs):
+        """Product target: marginal = the Beta(alpha, beta) factor."""
+        x = jnp.asarray(xs)
+        in_dom = (x > 0) & (x < 1)
+        safe = jnp.where(in_dom, x, 0.5)
+        ld = ((self.alpha - 1) * jnp.log(safe)
+              + (self.beta - 1) * jnp.log1p(-safe)
+              + gammaln(self.alpha + self.beta)
+              - gammaln(self.alpha) - gammaln(self.beta))
+        return jnp.where(in_dom, jnp.exp(ld), 0.0)

@@ -109,6 +109,15 @@ class ThreeMixture(TargetMixin):
         """Multimodal targets start at the origin (metropolis.py:46-52)."""
         return jnp.zeros((n, self.dim))
 
+    def marginal_density(self, axis: int, xs):
+        """Mixture of unit-variance Gaussians marginalizes per coordinate:
+        sum_k w_k N(s x | mu_k[axis], 1) * s  (Jacobian of y = s x)."""
+        s = self.scaling_factors[axis]
+        y = s * jnp.asarray(xs)
+        diff = y[None, :] - self.means[:, axis][:, None]        # (3, n)
+        comp = jnp.exp(-0.5 * diff * diff) / jnp.sqrt(2.0 * jnp.pi)
+        return s * jnp.sum(self.weights[:, None] * comp, axis=0)
+
 
 @struct.dataclass
 class RoughCarpet(TargetMixin):
@@ -184,3 +193,12 @@ class RoughCarpet(TargetMixin):
     def init_sample(self, key, n: int):
         """Multimodal targets start at the origin (metropolis.py:40-45)."""
         return jnp.zeros((n, self.dim))
+
+    def marginal_density(self, axis: int, xs):
+        """Product target: marginal = the axis' 1-D three-mode mixture,
+        Jacobian-corrected for the scaled variant."""
+        s = self.scaling_factors[axis]
+        y = s * jnp.asarray(xs)
+        diff = y[None, :] - self.modes[:, None]                 # (3, n)
+        comp = jnp.exp(-0.5 * diff * diff) / jnp.sqrt(2.0 * jnp.pi)
+        return s * jnp.sum(self.weights[:, None] * comp, axis=0)

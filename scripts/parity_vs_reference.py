@@ -90,7 +90,7 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
 
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
                   n_samples_swap_est, tolerance, max_pn_steps,
-                  ladder_device=None, partial_out=None):
+                  ladder_device=None, partial_out=None, ref_file_name=None):
     import jax
     import jax.numpy as jnp
 
@@ -154,8 +154,8 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
         if partial_out:
             # checkpoint per point: PT ladders cost minutes each, so a
             # timeout mid-sweep should not lose the finished points
-            json.dump({"ref_file": os.path.basename(partial_out),
-                       "partial": True, "rows": rows},
+            json.dump({"ref_file": ref_file_name, "partial": True,
+                       "rows": rows},
                       open(partial_out + ".partial", "w"))
     return rows
 
@@ -216,7 +216,8 @@ def main(argv=None):
                              args.iterative_tolerance,
                              args.iterative_max_pn_steps,
                              ladder_device=args.ladder_device,
-                             partial_out=args.out)
+                             partial_out=args.out,
+                             ref_file_name=os.path.basename(args.ref_file))
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
                               args.burn_in, args.stride, args.seed)
@@ -261,6 +262,9 @@ def main(argv=None):
     if args.out:
         os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
         json.dump(summary, open(args.out, "w"), indent=2)
+        # the per-point checkpoint is superseded by the final summary
+        if os.path.exists(args.out + ".partial"):
+            os.remove(args.out + ".partial")
         print(f"wrote {args.out}")
 
 

@@ -88,10 +88,13 @@ def run_checks(all_targets: bool = False, verbose: bool = True) -> dict:
         from rwm_pt_tpu.targets.registry import TARGET_NAMES
         t0 = time.time()
         failed = []
-        for name in TARGET_NAMES:
+        for idx, name in enumerate(TARGET_NAMES):
             try:
                 tgt = get_target_distribution(name, 10)
-                res = run_rwm_pallas(tgt, jax.random.fold_in(key, hash(name) & 0xffff),
+                # fold in the registry index, not hash(name): str hashes are
+                # randomized per process (PYTHONHASHSEED), so results would
+                # not reproduce across invocations
+                res = run_rwm_pallas(tgt, jax.random.fold_in(key, idx),
                                      base_variance=0.5, num_chains=256,
                                      num_iterations=100, burn_in=20)
                 a = float(res.acceptance_rate.mean())

@@ -295,3 +295,42 @@ def test_pallas_resume_statistical_continuation(key):
                - float(full.swap_acceptance_rate.mean())) < 0.03
     assert abs(float(res.cold_esjd.mean()) - float(full.cold_esjd.mean())) \
         < 0.15 * float(full.cold_esjd.mean()) + 0.01
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a real TPU")
+def test_pallas_periodic_checkpointing_resumable(tmp_path):
+    """engine='pallas' honors checkpoint_every: a run killed between segments
+    resumes from the last checkpoint on the Pallas engine (VERDICT r2 #5),
+    with the engine recorded in the checkpoint meta."""
+    from rwm_pt_tpu.api import MCMCSimulation
+    kw = dict(dim=10, sigma=2.38 ** 2 / 10, num_iterations=2000,
+              algorithm="PT", target_dist="MultivariateNormal", seed=5,
+              burn_in=200, num_chains=1024, swap_every=10,
+              record_chain=False, engine="pallas")
+    partial = MCMCSimulation(**{**kw, "num_iterations": 1200})
+    partial.generate_samples(verbose=False, checkpoint_every=600,
+                             checkpoint_path=str(tmp_path / "ck"))
+    assert partial._engine_used == "pallas"
+    _, meta = partial.load_checkpoint(str(tmp_path / "ck.npz"))
+    assert meta["engine"] == "pallas"
+
+    survivor = MCMCSimulation(**kw)
+    res = survivor.resume(str(tmp_path / "ck.npz"), num_iterations=800)
+    assert survivor._engine_used == "pallas"
+    assert int(res.state.step) == 200 + 2000  # burn_in + all iterations
+    # cumulative accounting stays sane across pallas segments
+    assert 0.0 < float(res.swap_acceptance_rate.mean()) < 1.0
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a real TPU")
+def test_pallas_progress_bar_segments(capsys):
+    """progress_bar=True on the Pallas engine reports between segments."""
+    from rwm_pt_tpu.api import MCMCSimulation
+    sim = MCMCSimulation(dim=10, sigma=2.38 ** 2 / 10, num_iterations=2000,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         seed=1, num_chains=1024, record_chain=False,
+                         engine="pallas")
+    sim.generate_samples(progress_bar=True, verbose=True)
+    out = capsys.readouterr().out
+    assert "progress:" in out
+    assert sim._engine_used == "pallas"

@@ -293,3 +293,72 @@ def test_resume_matches_uninterrupted_bitwise_pt(tmp_path):
                                   np.asarray(res.state.x))
     assert int(full._result.state.swap_attempt_count) == int(
         res.state.swap_attempt_count)
+
+
+def test_checkpoint_records_engine(tmp_path):
+    """Checkpoints record which engine produced the state (VERDICT r2 #6)."""
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=50, algorithm="RWM",
+                         target_dist="MultivariateNormal", num_chains=4,
+                         record_chain=False, seed=3)
+    sim.generate_samples(verbose=False)
+    path = str(tmp_path / "ck.npz")
+    sim.save_checkpoint(path)
+    _, meta = sim.load_checkpoint(path)
+    assert meta["engine"] == "scan"
+
+
+def test_resume_honors_checkpoint_engine(tmp_path, monkeypatch):
+    """A scan-written checkpoint must resume on the scan engine even when the
+    resuming simulation would auto-select Pallas, so the bitwise continuation
+    contract can't silently degrade to a statistical one."""
+    kw = dict(dim=2, sigma=1.0, num_iterations=40, algorithm="RWM",
+              target_dist="MultivariateNormal", num_chains=4,
+              record_chain=False, seed=3)
+    sim = MCMCSimulation(**kw)
+    sim.generate_samples(verbose=False)
+    path = str(tmp_path / "ck.npz")
+    sim.save_checkpoint(path)
+
+    survivor = MCMCSimulation(**kw)
+    # pretend Pallas is eligible: if resume() ignored the checkpoint's engine
+    # it would dispatch run_rwm_pallas (which cannot run on the CPU backend)
+    # instead of the recorded scan engine
+    monkeypatch.setattr(survivor, "_use_pallas", lambda: True)
+    res = survivor.resume(path, num_iterations=30)
+    assert survivor._engine_used == "scan"
+    assert int(res.state.step) == 70
+
+
+def test_progress_bar_prints_rwm(capsys):
+    """progress_bar=True emits periodic in-run lines from the compiled loop
+    (VERDICT r2 #4: the kwarg must not be dead surface)."""
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=2500,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         num_chains=4, record_chain=False, seed=1)
+    sim.generate_samples(progress_bar=True, verbose=False)
+    out = capsys.readouterr().out
+    assert "progress: step 1,000/" in out
+    assert "progress: step 2,000/" in out
+
+
+def test_progress_bar_prints_pt(capsys):
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=2200,
+                         algorithm="PT", target_dist="MultivariateNormal",
+                         num_chains=2, record_chain=False, seed=1)
+    sim.generate_samples(progress_bar=True, verbose=False)
+    out = capsys.readouterr().out
+    assert "progress: step" in out
+
+
+def test_progress_bar_does_not_perturb_run():
+    """The scan engine reports via jax.debug.callback; the trajectory must be
+    bitwise identical with and without progress reporting."""
+    kw = dict(dim=2, sigma=1.0, num_iterations=2100, algorithm="RWM",
+              target_dist="MultivariateNormal", num_chains=4,
+              record_chain=False, seed=2)
+    a = MCMCSimulation(**kw)
+    a.generate_samples(progress_bar=True, verbose=False)
+    b = MCMCSimulation(**kw)
+    b.generate_samples(progress_bar=False, verbose=False)
+    np.testing.assert_array_equal(np.asarray(a._result.state.x),
+                                  np.asarray(b._result.state.x))
