@@ -56,6 +56,7 @@ class MCMCSimulation:
                  burn_in: int = 0,
                  num_chains: int = 1,
                  swap_every: int = 100,
+                 swap_sweep: str = "even_odd",
                  cpu_semantics: bool = False,
                  rng_impl: str = "threefry2x32",
                  iterative_temp_spacing: bool = False,
@@ -117,6 +118,15 @@ class MCMCSimulation:
         self.proposal_dist = create_proposal_distribution(dim, proposal_config)
         self.num_chains = num_chains
         self.swap_every = swap_every
+        # swap-event pair order on the scan engine: "even_odd" (vectorized
+        # half-sweeps) or "sequential" (the reference's exact in-order sweep,
+        # pt_rwm_gpu_optimized.py:594-633 — what the Pallas engine always
+        # does).  Statistically close; sequential reproduces the reference's
+        # achieved swap rates exactly at production precision
+        # (docs/PARITY_MATRIX.md footnotes).
+        if swap_sweep not in ("even_odd", "sequential"):
+            raise ValueError("swap_sweep must be 'even_odd' or 'sequential'")
+        self.swap_sweep = swap_sweep
         # reference CPU PT semantics: swap *instead of* move on swap steps
         # (pt_rwm.py:169-184); default False = GPU semantics (SURVEY.md §3.3)
         self.cpu_semantics = cpu_semantics
@@ -503,7 +513,8 @@ class MCMCSimulation:
                          cpu_semantics=self.cpu_semantics,
                          init_states=init_states, symmetric=self.symmetric,
                          record_every=rec, record_chains=self.record_chains,
-                         progress_every=progress_every)
+                         progress_every=progress_every,
+                         swap_sweep=self.swap_sweep)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                           num_chains=self.num_chains,
@@ -579,7 +590,7 @@ class MCMCSimulation:
                              num_chains=self.num_chains, num_iterations=n,
                              burn_in=self.burn_in, swap_every=self.swap_every,
                              cpu_semantics=self.cpu_semantics,
-                             init_states=init,
+                             init_states=init, swap_sweep=self.swap_sweep,
                              symmetric=self.symmetric, resume_state=state)
             else:
                 res = run_rwm(self.target_dist, self.proposal_dist, self.key,
@@ -839,6 +850,7 @@ class MCMCSimulation:
                          num_chains=self.num_chains, num_iterations=n,
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
+                         swap_sweep=self.swap_sweep,
                          symmetric=self.symmetric, resume_state=state)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, key,

@@ -166,9 +166,49 @@ def _swap_phase(state: PTState, key, betas) -> PTState:
         + jnp.sum(acc * (dbeta ** 2)[:, None], axis=0))
 
 
+def _swap_phase_sequential(state: PTState, key, betas) -> PTState:
+    """One swap event with the reference's exact in-order sweep over adjacent
+    pairs j = 0..T-2 (pt_rwm_gpu_optimized.py:594-633): each pair's decision
+    sees the states already updated by lower pairs, so a state accepted down
+    at pair j can cascade through pair j+1 within the same event.  The
+    even/odd half-sweeps (:func:`_swap_phase`) cascade only even->odd; the
+    two orders are statistically close but not identical — at production
+    precision the difference is resolvable (docs/PARITY_MATRIX.md footnotes).
+    Cost: a T-1-step ``fori_loop`` of (d, 2, C) slices per swap event — at
+    the reference's swap_every=100 and T<=12 this is noise next to the MH
+    phase."""
+    T = betas.shape[0]
+    C = state.logp.shape[1]
+    u = jax.random.uniform(key, (T - 1, C))
+    dbeta = betas[:-1] - betas[1:]
+
+    def pair(j, carry):
+        x, lp, acc, bsq = carry
+        lp_pair = jax.lax.dynamic_slice_in_dim(lp, j, 2, axis=0)   # (2, C)
+        x_pair = jax.lax.dynamic_slice_in_dim(x, j, 2, axis=1)     # (d, 2, C)
+        log_swap = dbeta[j] * (lp_pair[1] - lp_pair[0])            # (:36-48)
+        a = u[j] < jnp.exp(log_swap)                 # NaN-safe: NaN -> reject
+        x_sw = jnp.where(a[None, None, :], x_pair[:, ::-1, :], x_pair)
+        lp_sw = jnp.where(a[None, :], lp_pair[::-1], lp_pair)
+        return (jax.lax.dynamic_update_slice_in_dim(x, x_sw, j, axis=1),
+                jax.lax.dynamic_update_slice_in_dim(lp, lp_sw, j, axis=0),
+                acc + a.astype(jnp.int32),
+                bsq + a * dbeta[j] ** 2)
+
+    x, lp, acc, bsq = jax.lax.fori_loop(
+        0, T - 1, pair,
+        (state.x, state.logp, jnp.zeros(C, jnp.int32),
+         jnp.zeros(C, default_float())))
+    return state.replace(
+        x=x, logp=lp,
+        swap_attempt_count=state.swap_attempt_count + (T - 1),
+        swap_accept_count=state.swap_accept_count + acc,
+        sum_beta_sq_jump=state.sum_beta_sq_jump + bsq)
+
+
 def pt_step(state: PTState, key, target, proposal, betas, burn_in,
             swap_every, cpu_semantics: bool = False,
-            symmetric: bool = True) -> PTState:
+            symmetric: bool = True, swap_sweep: str = "even_odd") -> PTState:
     """One full PT step.
 
     GPU semantics (default): MH move for every rung, then (conditionally) a
@@ -176,7 +216,16 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
     CPU semantics (``cpu_semantics=True``): on swap steps chains attempt swaps
     *instead of* MH moves, with no burn-in gate on swaps (pt_rwm.py:169-184).
     The GPU semantics produced the paper's GPU data (SURVEY.md §3.3).
+
+    ``swap_sweep``: ``"even_odd"`` (vectorized half-sweeps, the default) or
+    ``"sequential"`` (the reference's exact in-order pair sweep).
     """
+    if swap_sweep == "sequential":
+        _swap = _swap_phase_sequential
+    elif swap_sweep == "even_odd":
+        _swap = _swap_phase
+    else:
+        raise ValueError("swap_sweep must be 'even_odd' or 'sequential'")
     k_mh, k_swap = jax.random.split(key)
     cold_before = state.x[:, 0, :]
     step_counter = state.step + 1
@@ -189,7 +238,7 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
         is_swap_step = step_counter % swap_every == 0
         state = jax.lax.cond(
             is_swap_step,
-            lambda s: _mh_phase(_swap_phase(s, k_swap, betas), k_mh, target,
+            lambda s: _mh_phase(_swap(s, k_swap, betas), k_mh, target,
                                 proposal, betas, burn_in,
                                 rung_mask=last_only, symmetric=symmetric)[0],
             lambda s: _mh_phase(s, k_mh, target, proposal, betas, burn_in,
@@ -200,7 +249,7 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
                              symmetric=symmetric)
         should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
         state = jax.lax.cond(should_swap,
-                             lambda s: _swap_phase(s, k_swap, betas),
+                             lambda s: _swap(s, k_swap, betas),
                              lambda s: s, state)
     post = step_counter > burn_in
     jump = jnp.sum(jnp.square(state.x[:, 0, :] - cold_before), axis=0)
@@ -213,14 +262,16 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
     jax.jit,
     static_argnames=("num_chains", "num_iterations", "burn_in", "swap_every",
                      "record_every", "record_chains", "unroll",
-                     "cpu_semantics", "symmetric", "progress_every"))
+                     "cpu_semantics", "symmetric", "progress_every",
+                     "swap_sweep"))
 def run_pt(target: Any, proposal: Any, key, betas, *,
            num_chains: int, num_iterations: int, burn_in: int = 0,
            swap_every: int = 100, init_states=None,
            record_every: Optional[int] = None, record_chains: int = 1,
            unroll: int = 2, cpu_semantics: bool = False,
            resume_state=None, symmetric: bool = True,
-           progress_every: Optional[int] = None) -> PTResult:
+           progress_every: Optional[int] = None,
+           swap_sweep: str = "even_odd") -> PTResult:
     """Run ``burn_in + num_iterations`` PT steps on ``num_chains`` replicas.
 
     ``swap_every`` defaults to 100 like the GPU reference
@@ -243,7 +294,7 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
         # key by absolute step counter (resume-safe)
         st = pt_step(st, jax.random.fold_in(k_run, st.step), target,
                      proposal, betas, burn_in, swap_every, cpu_semantics,
-                     symmetric=symmetric)
+                     symmetric=symmetric, swap_sweep=swap_sweep)
         maybe_report_progress(st.step, end_step, progress_every)
         return st
 

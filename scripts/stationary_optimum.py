@@ -49,24 +49,31 @@ def stationary_sweep(target, grid, sampler, num_chains, num_iters, burn_in,
     from rwm_pt_tpu.kernels import run_rwm
     from rwm_pt_tpu.proposals import NormalProposal
 
+    import numpy as np
+
     key = jax.random.key(seed)
-    rows = []
+    # dispatch every grid point asynchronously and fetch ONE stacked stats
+    # array at the end: per-scalar fetches over the TPU tunnel cost seconds
+    # each (CLAUDE.md), which would dominate the sweep
+    stats = []
     for i, scale in enumerate(grid):
         k = jax.random.fold_in(key, i)
         x0 = sampler(target, jax.random.fold_in(k, 0xE0), num_chains).T
         prop = NormalProposal.create(target.dim, float(scale) ** 2 / target.dim)
-        res = jax.block_until_ready(
-            run_rwm(target, prop, k, num_chains=num_chains,
-                    num_iterations=num_iters, burn_in=burn_in,
-                    init_states=x0))
-        acc = float(jnp.mean(res.acceptance_rate))
-        acc_se = float(jnp.std(res.acceptance_rate)) / num_chains ** 0.5
-        esjd = float(jnp.mean(res.esjd))
-        esjd_se = float(jnp.std(res.esjd)) / num_chains ** 0.5
-        rows.append({"scale": float(scale), "acc": acc, "acc_se": acc_se,
-                     "esjd": esjd, "esjd_se": esjd_se})
+        res = run_rwm(target, prop, k, num_chains=num_chains,
+                      num_iterations=num_iters, burn_in=burn_in,
+                      init_states=x0)
+        stats.append(jnp.stack([jnp.mean(res.acceptance_rate),
+                                jnp.std(res.acceptance_rate),
+                                jnp.mean(res.esjd), jnp.std(res.esjd)]))
+    stats = np.asarray(jnp.stack(stats), np.float64)   # (n_grid, 4)
+    rows = []
+    rt = num_chains ** 0.5
+    for scale, (acc, acc_sd, esjd, esjd_sd) in zip(grid, stats):
+        rows.append({"scale": float(scale), "acc": acc, "acc_se": acc_sd / rt,
+                     "esjd": esjd, "esjd_se": esjd_sd / rt})
         print(f"  scale={scale:8.4f} acc={acc:.4f} esjd={esjd:.5f} "
-              f"(se {esjd_se:.2e})", flush=True)
+              f"(se {esjd_sd / rt:.2e})", flush=True)
     return rows
 
 

@@ -185,3 +185,54 @@ def test_cold_chain_mode_occupancy(key):
                     (x0 > 2.5).mean()])
     # equal 1/3 weights; generous band for finite-sample + burn-in effects
     assert occ.min() > 0.15 and occ.max() < 0.55, occ
+
+
+def test_sequential_sweep_matches_even_odd_statistics(key):
+    """The reference's exact in-order pair sweep (swap_sweep='sequential',
+    pt_rwm_gpu_optimized.py:594-633) and the vectorized even/odd half-sweeps
+    must agree on swap acceptance, beta-ESJD, and cold-chain moments within
+    MC error, with identical attempt accounting."""
+    dim = 4
+    tgt = MultivariateNormal.create(dim)
+    prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
+    betas = jnp.geomspace(1.0, 0.01, 6)
+    kw = dict(num_chains=256, num_iterations=20000, burn_in=500, swap_every=10)
+    eo = run_pt(tgt, prop, key, betas, swap_sweep="even_odd", **kw)
+    sq = run_pt(tgt, prop, key, betas, swap_sweep="sequential", **kw)
+    assert int(eo.state.swap_attempt_count) == int(sq.state.swap_attempt_count)
+    assert abs(float(eo.swap_acceptance_rate.mean())
+               - float(sq.swap_acceptance_rate.mean())) < 0.02
+    assert abs(float(eo.pt_esjd.mean()) - float(sq.pt_esjd.mean())) \
+        < 0.1 * float(eo.pt_esjd.mean()) + 1e-4
+    # cold chain still targets pi under either sweep order
+    mu = jnp.mean(sq.state.x[:, 0, :], axis=1)
+    assert float(jnp.max(jnp.abs(mu))) < 0.3
+
+
+def test_sequential_sweep_cascade(key):
+    """With a dense ladder the sequential sweep lets a state cascade through
+    multiple pairs per event (cold-chain jumps include multi-rung moves);
+    accounting must stay within [0, 1] and attempts must count T-1 pairs."""
+    dim = 2
+    tgt = MultivariateNormal.create(dim)
+    prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
+    betas = jnp.asarray([1.0, 0.97, 0.94, 0.91])   # near-degenerate ladder
+    res = run_pt(tgt, prop, key, betas, num_chains=64, num_iterations=2000,
+                 burn_in=100, swap_every=10, swap_sweep="sequential")
+    acc = float(res.swap_acceptance_rate.mean())
+    assert 0.5 < acc <= 1.0  # dense ladder: nearly every pair swap accepts
+    n_events = (2100 - 100) // 10
+    assert int(res.state.swap_attempt_count) == n_events * 3
+
+
+def test_sequential_sweep_in_harness(key):
+    from rwm_pt_tpu.api import MCMCSimulation
+    sim = MCMCSimulation(dim=3, sigma=1.0, num_iterations=3000,
+                         algorithm="PT", target_dist="MultivariateNormal",
+                         seed=2, burn_in=200, num_chains=32, swap_every=10,
+                         swap_sweep="sequential", record_chain=False)
+    sim.generate_samples(verbose=False)
+    assert 0.0 < sim.swap_acceptance_rate() < 1.0
+    with pytest.raises(ValueError, match="swap_sweep"):
+        MCMCSimulation(dim=3, sigma=1.0, num_iterations=10, algorithm="PT",
+                       target_dist="MultivariateNormal", swap_sweep="zigzag")
