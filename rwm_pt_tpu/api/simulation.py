@@ -127,6 +127,10 @@ class MCMCSimulation:
         if swap_sweep not in ("even_odd", "sequential"):
             raise ValueError("swap_sweep must be 'even_odd' or 'sequential'")
         self.swap_sweep = swap_sweep
+        # scan-engine PT state layout: flat (d, T*C) tiles the TPU lanes like
+        # a plain RWM batch (~2.4x, kernels/pt.py run_pt docstring); sharded
+        # runs need the canonical (d, T, C) so mesh axes line up
+        self._pt_layout = "tc" if use_mesh else "flat"
         # reference CPU PT semantics: swap *instead of* move on swap steps
         # (pt_rwm.py:169-184); default False = GPU semantics (SURVEY.md §3.3)
         self.cpu_semantics = cpu_semantics
@@ -514,7 +518,7 @@ class MCMCSimulation:
                          init_states=init_states, symmetric=self.symmetric,
                          record_every=rec, record_chains=self.record_chains,
                          progress_every=progress_every,
-                         swap_sweep=self.swap_sweep)
+                         swap_sweep=self.swap_sweep, layout=self._pt_layout)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                           num_chains=self.num_chains,
@@ -591,6 +595,7 @@ class MCMCSimulation:
                              burn_in=self.burn_in, swap_every=self.swap_every,
                              cpu_semantics=self.cpu_semantics,
                              init_states=init, swap_sweep=self.swap_sweep,
+                             layout=self._pt_layout,
                              symmetric=self.symmetric, resume_state=state)
             else:
                 res = run_rwm(self.target_dist, self.proposal_dist, self.key,
@@ -850,7 +855,7 @@ class MCMCSimulation:
                          num_chains=self.num_chains, num_iterations=n,
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
-                         swap_sweep=self.swap_sweep,
+                         swap_sweep=self.swap_sweep, layout=self._pt_layout,
                          symmetric=self.symmetric, resume_state=state)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, key,

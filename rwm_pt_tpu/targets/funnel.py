@@ -68,6 +68,32 @@ class NealFunnel(TargetMixin):
         # parity with reference naming: funnel_torch.py:81-82
         return f"{self.name}_D{self.dim}"
 
+    def direct_sample(self, key, n: int, beta: float = 1.0):
+        """Exact ancestral sampler for the beta-tempered funnel.
+
+        The reference raises NotImplementedError here (funnel_torch.py:89),
+        which blocks iterative temperature-ladder construction for funnels —
+        but the tempered funnel is exactly samplable: integrating the z's out
+        of pi^beta leaves a *Gaussian* v-marginal,
+
+            v ~ N(mu_v + (1-beta)(D-1) sigma_v^2 / (2 beta),  sigma_v^2/beta)
+            z_k | v ~ N(mu_z, e^v / beta)
+
+        (the e^{-(D-1)v/2} likelihood normalizer, raised to beta, shifts the
+        v mean by the (1-beta) term).  A capability superset of the
+        reference, enabling --iterative_temp_spacing on NealFunnel.
+        """
+        kv, kz = jax.random.split(key)
+        beta = jnp.asarray(beta, default_float())
+        d1 = self.dim - 1
+        mean_v = self.mu_v + (1.0 - beta) * d1 * self.sigma_v_sq / (2.0 * beta)
+        v = mean_v + jnp.sqrt(self.sigma_v_sq / beta) * jax.random.normal(kv, (n,))
+        if self.dim == 1:
+            return v[:, None]
+        z = (self.mu_z + jnp.exp(v[:, None] / 2.0) / jnp.sqrt(beta)
+             * jax.random.normal(kz, (n, d1)))
+        return jnp.concatenate([v[:, None], z], axis=1)
+
     def marginal_density(self, axis: int, xs):
         """v's marginal is N(mu_v, sigma_v^2) exactly; a z coordinate's
         marginal p(z) = E_v[N(z | mu_z, e^v)] has no closed form but is a 1-D

@@ -85,8 +85,10 @@ def main():
     x0 = jax.make_array_from_callback(x_host.shape, sharding,
                                       lambda idx: x_host[idx])
 
+    # layout='tc': chains are sharded, and the flat layout's (T, C) -> (T*C,)
+    # merge would interleave across the sharded chain axis
     res = run_pt(target, prop, key, betas, num_chains=C, num_iterations=400,
-                 burn_in=100, swap_every=10, init_states=x0)
+                 burn_in=100, swap_every=10, init_states=x0, layout="tc")
 
     # pooled diagnostics: replicated jit outputs are addressable everywhere;
     # the means over the sharded chain axis are cross-process AllReduces

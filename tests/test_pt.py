@@ -134,9 +134,40 @@ def test_iterative_ladder_mvn(key):
 
 
 def test_iterative_ladder_requires_sampler():
-    from rwm_pt_tpu.targets import NealFunnel
+    from rwm_pt_tpu.targets import FullRosenbrock
     with pytest.raises(NotImplementedError):
-        construct_iterative_ladder(NealFunnel.create(5))
+        construct_iterative_ladder(FullRosenbrock.create(5))
+
+
+def test_funnel_tempered_sampler_moments(key):
+    """The beta-tempered funnel sampler (targets/funnel.py direct_sample —
+    capability superset: the reference raises, funnel_torch.py:89) must match
+    the closed-form tempered moments: Var(v) = sigma_v^2/beta and
+    E[v] = mu_v + (1-beta)(D-1) sigma_v^2 / (2 beta)."""
+    from rwm_pt_tpu.targets import NealFunnel
+    tgt = NealFunnel.create(5)
+    for beta in (1.0, 0.5):
+        draws = np.asarray(tgt.direct_sample(key, 400_000, beta))
+        v = draws[:, 0]
+        mean_expect = (1.0 - beta) * 4 * 9.0 / (2.0 * beta)
+        assert abs(v.mean() - mean_expect) < 0.03, beta
+        assert abs(v.var() - 9.0 / beta) < 0.15, beta
+        # z | v ~ N(0, e^v/beta): standardized residuals are unit normal
+        zstd = draws[:, 1:] / np.sqrt(np.exp(v)[:, None] / beta)
+        assert abs(zstd.mean()) < 0.01
+        assert abs(zstd.std() - 1.0) < 0.01
+
+
+def test_iterative_ladder_on_funnel():
+    """Iterative ladder construction now works for NealFunnel (the reference
+    cannot: its draw_samples_torch raises)."""
+    from rwm_pt_tpu.targets import NealFunnel
+    ladder = construct_iterative_ladder(
+        NealFunnel.create(10), target_swap_acceptance_rate=0.234,
+        N_samples_swap_est=20000, seed=3, verbose=False)
+    assert ladder[0] == 1.0 and ladder[-1] == pytest.approx(0.01)
+    assert len(ladder) >= 3                   # found interior rungs
+    assert all(a > b for a, b in zip(ladder, ladder[1:]))
 
 
 def test_cold_chain_includes_swap_jumps(key):
@@ -236,3 +267,35 @@ def test_sequential_sweep_in_harness(key):
     with pytest.raises(ValueError, match="swap_sweep"):
         MCMCSimulation(dim=3, sigma=1.0, num_iterations=10, algorithm="PT",
                        target_dist="MultivariateNormal", swap_sweep="zigzag")
+
+
+def test_flat_layout_bitwise_matches_tc(key):
+    """The flat (d, T*C) fast layout must be bitwise-identical to the
+    canonical (d, T, C) layout: same per-step keys, same draw shapes up to a
+    row-major reshape, same arithmetic (kernels/pt.py run_pt docstring)."""
+    dim = 4
+    tgt = MultivariateNormal.create(dim)
+    prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
+    betas = jnp.geomspace(1.0, 0.01, 6)
+    for cpu_sem in (False, True):
+        kw = dict(num_chains=32, num_iterations=500, burn_in=50,
+                  swap_every=10, cpu_semantics=cpu_sem)
+        flat = run_pt(tgt, prop, key, betas, layout="flat", **kw)
+        tc = run_pt(tgt, prop, key, betas, layout="tc", **kw)
+        np.testing.assert_array_equal(np.asarray(flat.state.x),
+                                      np.asarray(tc.state.x))
+        np.testing.assert_array_equal(np.asarray(flat.state.accept_count),
+                                      np.asarray(tc.state.accept_count))
+        np.testing.assert_array_equal(
+            np.asarray(flat.state.swap_accept_count),
+            np.asarray(tc.state.swap_accept_count))
+        np.testing.assert_allclose(np.asarray(flat.cold_esjd),
+                                   np.asarray(tc.cold_esjd), rtol=1e-6)
+    # recorded traces agree too
+    fr = run_pt(tgt, prop, key, betas, num_chains=32, num_iterations=200,
+                burn_in=20, swap_every=10, record_every=10, record_chains=3,
+                layout="flat")
+    tr = run_pt(tgt, prop, key, betas, num_chains=32, num_iterations=200,
+                burn_in=20, swap_every=10, record_every=10, record_chains=3,
+                layout="tc")
+    np.testing.assert_array_equal(np.asarray(fr.chain), np.asarray(tr.chain))

@@ -118,9 +118,11 @@ def test_pt_full_run_2d_mesh_matches_unsharded(target, key):
     r_plain = run_pt(target, prop, key, betas, num_chains=C,
                      num_iterations=100, burn_in=10, swap_every=5,
                      init_states=x0)
+    # temps-sharded inputs need the canonical layout: a flat (d, T*C)
+    # reshape across the sharded rung axis would insert per-step collectives
     r_shard = run_pt(target, prop, key, betas, num_chains=C,
                      num_iterations=100, burn_in=10, swap_every=5,
-                     init_states=x0_sh)
+                     init_states=x0_sh, layout="tc")
     np.testing.assert_allclose(np.asarray(r_plain.state.x),
                                np.asarray(r_shard.state.x), rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(r_plain.state.swap_accept_count),

@@ -187,7 +187,9 @@ def test_direct_sampler_beta_scaling(key):
     assert float(jnp.std(hot)) > 2.0 * float(jnp.std(cold))
 
 
-@pytest.mark.parametrize("name", ["FullRosenbrock", "NealFunnel", "SuperFunnel"])
+# NealFunnel gained an exact tempered sampler in round 3 (targets/funnel.py
+# direct_sample), so only these two remain samplerless like the reference
+@pytest.mark.parametrize("name", ["FullRosenbrock", "SuperFunnel"])
 def test_samplerless_targets_raise(name):
     tgt = make_all_targets()[name]
     with pytest.raises(NotImplementedError):
