@@ -52,7 +52,12 @@ class ThreeMixture(TargetMixin):
 
     @classmethod
     def create(cls, dim: int, scaling: bool = False, mode_centers=None,
-               mode_weights=None, seed: int = 0) -> "ThreeMixture":
+               mode_weights=None, seed: int = 0,
+               scaling_factors=None) -> "ThreeMixture":
+        """``scaling_factors``: explicit (d,) coordinate scalings (win over
+        the seeded U(0.02, 1.98) draw) — lets callers express e.g. the CPU
+        classes' covariance-scaled model N(x | mu_k, diag(v)) exactly, via
+        s = 1/sqrt(v) and centers mu_k * s (multimodal.py:26-29)."""
         # default: modes at first coordinate -5, 0, +5 (reference :57-62)
         def_centers = [[-5.0] + [0.0] * (dim - 1),
                        [0.0] * dim,
@@ -76,8 +81,14 @@ class ThreeMixture(TargetMixin):
         if abs(float(w.sum()) - 1.0) > 1e-5:
             raise ValueError("mode_weights must sum to 1.0")
         if scaling:
-            s = jax.random.uniform(jax.random.key(seed), (dim,),
-                                   minval=0.02, maxval=1.98)
+            if scaling_factors is not None:
+                s = jnp.asarray(scaling_factors, default_float())
+                if s.shape != (dim,):
+                    raise ValueError(f"scaling_factors must have shape "
+                                     f"({dim},), got {s.shape}")
+            else:
+                s = jax.random.uniform(jax.random.key(seed), (dim,),
+                                       minval=0.02, maxval=1.98)
             log_jac = jnp.sum(jnp.log(s))
         else:
             s = jnp.ones(dim)
@@ -137,7 +148,8 @@ class RoughCarpet(TargetMixin):
 
     @classmethod
     def create(cls, dim: int, scaling: bool = False, mode_centers=None,
-               mode_weights=None, seed: int = 0) -> "RoughCarpet":
+               mode_weights=None, seed: int = 0,
+               scaling_factors=None) -> "RoughCarpet":
         modes = jnp.asarray([-5.0, 0.0, 5.0] if mode_centers is None
                             else mode_centers, default_float())
         w = jnp.asarray([0.5, 0.3, 0.2] if mode_weights is None
@@ -152,8 +164,14 @@ class RoughCarpet(TargetMixin):
         if abs(float(w.sum()) - 1.0) > 1e-5:
             raise ValueError("mode_weights must sum to 1.0")
         if scaling:
-            s = jax.random.uniform(jax.random.key(seed), (dim,),
-                                   minval=0.02, maxval=1.98)
+            if scaling_factors is not None:
+                s = jnp.asarray(scaling_factors, default_float())
+                if s.shape != (dim,):
+                    raise ValueError(f"scaling_factors must have shape "
+                                     f"({dim},), got {s.shape}")
+            else:
+                s = jax.random.uniform(jax.random.key(seed), (dim,),
+                                       minval=0.02, maxval=1.98)
             log_jac = jnp.sum(jnp.log(s))
         else:
             s = jnp.ones(dim)

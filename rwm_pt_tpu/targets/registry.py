@@ -85,7 +85,8 @@ def get_target_distribution(name: str, dim: int, variant: str = "rwm_gpu",
             dim, scaling=name.endswith("Scaled"),
             mode_centers=kwargs.get("mode_centers", _RC_CENTERS[variant]),
             mode_weights=kwargs.get("mode_weights", [0.5, 0.3, 0.2]),
-            seed=kwargs.get("seed", 0))
+            seed=kwargs.get("seed", 0),
+            scaling_factors=kwargs.get("scaling_factors"))
     if name in ("ThreeMixture", "ThreeMixtureScaled"):
         off = _TM_OFFSET[variant]
         default_centers = [[-off] + [0.0] * (dim - 1),
@@ -95,7 +96,8 @@ def get_target_distribution(name: str, dim: int, variant: str = "rwm_gpu",
             dim, scaling=name.endswith("Scaled"),
             mode_centers=kwargs.get("mode_centers", default_centers),
             mode_weights=kwargs.get("mode_weights", [1 / 3, 1 / 3, 1 / 3]),
-            seed=kwargs.get("seed", 0))
+            seed=kwargs.get("seed", 0),
+            scaling_factors=kwargs.get("scaling_factors"))
     if name == "Hypercube":
         # factory default bounds (-1, 1) (experiment_RWM_GPU.py:66-67)
         return Hypercube.create(dim,

@@ -253,3 +253,44 @@ def test_registry_variant_constants():
     import pytest
     with pytest.raises(ValueError):
         get_target_distribution("RoughCarpet", 4, variant="nope")
+
+
+def test_explicit_scaling_factors_covariance_identity(key):
+    """Explicit ``scaling_factors`` must reproduce the CPU classes'
+    covariance-scaled mixture exactly: N(x | mu, diag(v)) =
+    prod(c) N(c*x | c*mu, I) with c = 1/sqrt(v)  (reference
+    multimodal.py:26-29 scales covs; scripts/parity_batch.py relies on
+    this mapping for the ThreeMixtureScaled CPU campaign)."""
+    from rwm_pt_tpu.targets import ThreeMixture, RoughCarpet
+    dim = 5
+    rng = np.random.default_rng(3)
+    v = rng.uniform(0.1, 2.0, dim)            # per-coordinate variances
+    c = 1.0 / np.sqrt(v)
+    off = 15.0
+    mu = np.array([[-off] + [0.0] * (dim - 1), [0.0] * dim,
+                   [off] + [0.0] * (dim - 1)])
+    tgt = ThreeMixture.create(dim, scaling=True, scaling_factors=c,
+                              mode_centers=(mu * c).tolist(),
+                              mode_weights=[1 / 3] * 3)
+    x = np.asarray(jax.random.normal(key, (7, dim))) * 3.0
+    # direct covariance-scaled log-density
+    comp = (-0.5 * ((x[:, None, :] - mu[None]) ** 2 / v).sum(-1)
+            - 0.5 * (np.log(2 * np.pi * v)).sum())
+    expected = np.log(np.exp(comp).mean(-1))
+    np.testing.assert_allclose(np.asarray(tgt.log_density(jnp.asarray(x))),
+                               expected, rtol=1e-5)
+
+    # RoughCarpet: explicit factors are honored verbatim
+    s = rng.uniform(0.5, 1.5, dim)
+    rc = RoughCarpet.create(dim, scaling=True, scaling_factors=s)
+    y = x[0]
+    modes = np.array([-5.0, 0.0, 5.0])
+    w = np.array([0.5, 0.3, 0.2])
+    comp1d = (w[None, :] * np.exp(-0.5 * ((y * s)[:, None] - modes) ** 2)
+              / np.sqrt(2 * np.pi)).sum(-1)
+    expected_rc = np.log(comp1d).sum() + np.log(s).sum()
+    np.testing.assert_allclose(float(rc.log_density(jnp.asarray(y))),
+                               expected_rc, rtol=1e-5)
+
+    with pytest.raises(ValueError):
+        ThreeMixture.create(dim, scaling=True, scaling_factors=s[:-1])
