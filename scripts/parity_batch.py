@@ -135,7 +135,7 @@ def averaged_curve(fam, files):
     return avg
 
 
-def _make_target(meta, seed, hybrid_n1n2=None, **kw):
+def _make_target(meta, seed, hybrid_n1n2=None, scaling_law="coord", **kw):
     from rwm_pt_tpu.targets import get_target_distribution
     kwargs = dict(kw)
     if meta["target"] == "HybridRosenbrock":
@@ -143,6 +143,16 @@ def _make_target(meta, seed, hybrid_n1n2=None, **kw):
         kwargs.update(n1=n1, n2=n2)
     if meta["scaled"]:
         kwargs.update(seed=seed)
+        if scaling_law == "inv":
+            # legacy era (the 100k/300k-iter ThreeMixtureScaled campaigns):
+            # coordinates scaled by s = 1/U(0.02, 1.98) — the inverse of
+            # today's torch class (multimodal_torch.py:80-90).  Recovered
+            # forensically: this law reproduces the committed acceptance
+            # curves at d=20/30/50 across both campaigns to ~realization
+            # noise, while today's law is off by up to 0.46 acceptance.
+            rng = np.random.default_rng(seed)
+            kwargs.update(
+                scaling_factors=1.0 / rng.uniform(0.02, 1.98, meta["dim"]))
         if meta["variant"] == "cpu" and meta["target"] == "ThreeMixtureScaled":
             # CPU numpy classes scale the COVARIANCE, not the coordinates:
             # covs *= v with v ~ U(1e-6, 2) (multimodal.py:26-29).
@@ -177,7 +187,7 @@ def _make_props(meta, grid):
 
 
 def run_family(meta, ref, num_chains=512, realizations=16, seed=0,
-               stride=1, hybrid_n1n2=None):
+               stride=1, hybrid_n1n2=None, scaling_law="coord"):
     """One vmapped protocol-matched sweep.  Returns parity rows."""
     import jax
     import jax.numpy as jnp
@@ -191,7 +201,8 @@ def run_family(meta, ref, num_chains=512, realizations=16, seed=0,
     C = max(128, (num_chains // R) // 128 * 128)
     num_iters, burn_in = meta["iters"], meta["burn_in"]
 
-    targets = [_make_target(meta, 1000 + r, hybrid_n1n2) for r in range(R)]
+    targets = [_make_target(meta, 1000 + r, hybrid_n1n2, scaling_law)
+               for r in range(R)]
     tb = (jax.tree.map(lambda *xs: jnp.stack(xs), *targets) if R > 1
           else targets[0])
     props = _make_props(meta, grid)
@@ -279,7 +290,8 @@ def summarize(meta, ref, rows, extra, t0, protocol_matched=True):
         "elapsed_s": time.time() - t0,
         "rows": rows,
     }
-    for k in ("hybrid_n1n2", "hybrid_scores", "variant_scan"):
+    for k in ("hybrid_n1n2", "hybrid_scores", "variant_scan",
+              "scaling_scan"):
         if k in extra:
             s[k] = extra[k]
     spreads = np.array([r.get("ref_acc_seed_std", 0) or 0 for r in rows])
@@ -304,6 +316,21 @@ def hybrid_forensics(meta, ref, num_chains, seed):
     best = min(scores, key=scores.get)
     n1, n2 = map(int, best.split(","))
     return (n1, n2), scores
+
+
+def scaling_scan(meta, ref, num_chains, seed):
+    """Scaled multimodal campaigns predating the proposal-era files used a
+    different (inverted) coordinate-scaling law; score both on a strided
+    sweep (see _make_target's "inv" branch for the evidence)."""
+    scores = {}
+    for law in ("coord", "inv"):
+        rows, _ = run_family(meta, ref, num_chains=num_chains, seed=seed,
+                             stride=4, scaling_law=law)
+        d = max(abs(r["our_acc"] - r["ref_acc"]) for r in rows)
+        scores[law] = round(d, 5)
+        print(f"    scaling law {law}: max|dacc| {d:.4f}", flush=True)
+    best = min(scores, key=scores.get)
+    return best, scores
 
 
 def variant_scan(meta, ref, num_chains, seed):
@@ -396,6 +423,11 @@ def main(argv=None):
               flush=True)
         extra_fields = {}
         hybrid = None
+        law = "coord"
+        if (meta["scaled"] and meta["alg"] == "RWM_GPU"
+                and "proposal_distribution" not in ref):
+            law, lscores = scaling_scan(meta, ref, args.num_chains, args.seed)
+            extra_fields["scaling_scan"] = lscores
         if meta["target"] == "HybridRosenbrock":
             hybrid, scores = hybrid_forensics(meta, ref, args.num_chains,
                                               args.seed)
@@ -410,7 +442,8 @@ def main(argv=None):
             extra_fields["variant_scan"] = scores
         rows, extra = run_family(meta, ref, num_chains=args.num_chains,
                                  realizations=args.realizations,
-                                 seed=args.seed, hybrid_n1n2=hybrid)
+                                 seed=args.seed, hybrid_n1n2=hybrid,
+                                 scaling_law=law)
         extra.update(extra_fields)
         s = summarize(meta, ref, rows, extra, t0,
                       protocol_matched=not args.smoke)
