@@ -409,6 +409,7 @@ def main(argv=None):
 
     os.makedirs(OUT_DIR, exist_ok=True)
     done = 0
+    failed = []
     for meta, files in q[:args.limit]:
         fam = meta["family"]
         out_path = os.path.join(OUT_DIR, fam + ".json")
@@ -440,10 +441,16 @@ def main(argv=None):
             best, scores = variant_scan(meta, ref, args.num_chains, args.seed)
             meta = dict(meta, variant=best)
             extra_fields["variant_scan"] = scores
-        rows, extra = run_family(meta, ref, num_chains=args.num_chains,
-                                 realizations=args.realizations,
-                                 seed=args.seed, hybrid_n1n2=hybrid,
-                                 scaling_law=law)
+        try:
+            rows, extra = run_family(meta, ref, num_chains=args.num_chains,
+                                     realizations=args.realizations,
+                                     seed=args.seed, hybrid_n1n2=hybrid,
+                                     scaling_law=law)
+        except Exception as e:  # transient TPU device faults: skip, retry later
+            failed.append(fam)
+            print(f"    FAILED ({type(e).__name__}): {e}"[:300], flush=True)
+            time.sleep(30)
+            continue
         extra.update(extra_fields)
         s = summarize(meta, ref, rows, extra, t0,
                       protocol_matched=not args.smoke)
@@ -453,7 +460,10 @@ def main(argv=None):
               f"z={s.get('max_acc_z_vs_seed_spread', float('nan')):.1f} "
               f"corr={s['esjd_curve_corr']:.3f}  ({s['elapsed_s']:.0f}s)",
               flush=True)
-    print(f"done: {done} families -> {OUT_DIR}")
+    print(f"done: {done} families -> {OUT_DIR}"
+          + (f"; FAILED: {failed}" if failed else ""))
+    if failed:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -29,11 +29,11 @@ for attempt in $(seq 1 40); do
   fi
   if [ "$after" -le "$before" ]; then
     stall=$((stall + 1))
-    if [ "$stall" -ge 2 ]; then
-      echo "=== no progress twice in a row; giving up ===" >> "$LOG"
+    if [ "$stall" -ge 4 ]; then
+      echo "=== no progress four times in a row; giving up ===" >> "$LOG"
       break
     fi
-    sleep 120   # let a transient TPU fault clear
+    sleep 600   # let a transient TPU fault clear
   else
     stall=0
   fi
