@@ -410,6 +410,7 @@ def main(argv=None):
     os.makedirs(OUT_DIR, exist_ok=True)
     done = 0
     failed = []
+    consec_fail = 0
     for meta, files in q[:args.limit]:
         fam = meta["family"]
         out_path = os.path.join(OUT_DIR, fam + ".json")
@@ -448,9 +449,18 @@ def main(argv=None):
                                      scaling_law=law)
         except Exception as e:  # transient TPU device faults: skip, retry later
             failed.append(fam)
+            consec_fail += 1
             print(f"    FAILED ({type(e).__name__}): {e}"[:300], flush=True)
+            # a device error usually poisons the process's TPU client: after
+            # two consecutive failures, bail out and let the outer runner
+            # retry in a fresh process after a backoff
+            if consec_fail >= 2:
+                print("=== consecutive device failures; aborting pass ===",
+                      flush=True)
+                break
             time.sleep(30)
             continue
+        consec_fail = 0
         extra.update(extra_fields)
         s = summarize(meta, ref, rows, extra, t0,
                       protocol_matched=not args.smoke)

@@ -90,7 +90,8 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
 
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
                   n_samples_swap_est, tolerance, max_pn_steps,
-                  ladder_device=None, partial_out=None, ref_file_name=None):
+                  ladder_device=None, partial_out=None, ref_file_name=None,
+                  points=None, fail_tol_factor=3.0):
     import jax
     import jax.numpy as jnp
 
@@ -128,22 +129,31 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
 
     rows = []
     for i, (rate, ra, re) in enumerate(zip(grid, ref_acc, ref_esjd)):
+        if points is not None and i not in points:
+            continue
         t_lad = time.time()
         with ladder_ctx:
             ladder = construct_iterative_ladder(
                 ladder_target, target_swap_acceptance_rate=float(rate),
                 N_samples_swap_est=n_samples_swap_est, tolerance=tolerance,
-                max_pn_adjustment_steps=max_pn_steps, seed=seed + i,
-                verbose=False)
+                max_pn_adjustment_steps=max_pn_steps,
+                convergence_failure_tolerance_factor=fail_tol_factor,
+                seed=seed + i, verbose=False)
         t_lad = time.time() - t_lad
         res = jax.block_until_ready(
             run_pt(target, prop, jax.random.fold_in(key, i),
                    jnp.asarray(ladder, jnp.float32), num_chains=num_chains,
                    num_iterations=num_iters, burn_in=burn_in, swap_every=100))
         acc = float(jnp.mean(res.swap_acceptance_rate))
+        # our-side MC noise floor: each of the C chains is an independent
+        # PT replica, so the spread across replicas gives the honest-z
+        # denominator (same convention as the RWM rows at line 79)
+        acc_se = float(jnp.std(res.swap_acceptance_rate)
+                       / num_chains ** 0.5)
         esjd = float(jnp.mean(res.pt_esjd))
         row = {"target_rate": rate, "ref_acc": ra, "our_acc": acc,
-               "ref_esjd": re, "our_esjd": esjd, "T": len(ladder)}
+               "ref_esjd": re, "our_esjd": esjd, "T": len(ladder),
+               "acc_se": acc_se}
         if acc_std[i] is not None:
             row["ref_acc_se"] = acc_std[i] / n_avg ** 0.5
             row["ref_acc_seed_std"] = acc_std[i]
@@ -186,6 +196,18 @@ def main(argv=None):
                    help="Ladder convergence tolerance (reference production "
                         "runs use 1e-4, run_pt_gpu.sbatch:30-40)")
     p.add_argument("--iterative_max_pn_steps", type=int, default=100)
+    p.add_argument("--iterative_fail_tol_factor", type=float, default=3.0,
+                   help="Widened-tolerance factor on ladder non-convergence "
+                        "(reference production runs use 1, "
+                        "run_pt_gpu.sbatch:30-40)")
+    p.add_argument("--points", type=str, default=None,
+                   help="Comma-separated indices into the strided grid: run "
+                        "only these points (e.g. re-run breaching points at "
+                        "production ladder precision)")
+    p.add_argument("--merge_into", type=str, default=None,
+                   help="Existing family summary JSON: replace its rows at "
+                        "the re-run points (matched by target_rate) and "
+                        "recompute the summary stats in place")
     p.add_argument("--ladder_device", type=str, default=None,
                    help="Run ladder-construction probes on this JAX platform "
                         "(e.g. 'cpu') while the PT runs stay on the default "
@@ -209,6 +231,8 @@ def main(argv=None):
           f"d={ref['dimension']}; ref {ref['num_iterations']} iters / 1 chain, "
           f"ours {args.num_iters} iters x {args.num_chains} chains)")
     t0 = time.time()
+    points = ([int(x) for x in args.points.split(",")]
+              if args.points else None)
     if is_pt:
         rows = run_pt_parity(ref, args.num_iters, args.num_chains,
                              args.burn_in, args.stride, args.seed,
@@ -217,12 +241,52 @@ def main(argv=None):
                              args.iterative_max_pn_steps,
                              ladder_device=args.ladder_device,
                              partial_out=args.out,
-                             ref_file_name=os.path.basename(args.ref_file))
+                             ref_file_name=os.path.basename(args.ref_file),
+                             points=points,
+                             fail_tol_factor=args.iterative_fail_tol_factor)
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
                               args.burn_in, args.stride, args.seed)
 
     import numpy as np
+
+    if args.merge_into:
+        lad_prec = {"N_samples_swap_est": args.N_samples_swap_est,
+                    "tolerance": args.iterative_tolerance,
+                    "max_pn_steps": args.iterative_max_pn_steps,
+                    "fail_tol_factor": args.iterative_fail_tol_factor}
+        s = json.load(open(args.merge_into))
+        for new in rows:
+            new["ladder_precision"] = lad_prec
+            hit = [j for j, old in enumerate(s["rows"])
+                   if np.isclose(old["target_rate"], new["target_rate"])]
+            assert len(hit) == 1, (new["target_rate"], hit)
+            s["rows"][hit[0]] = new
+        ours_acc = np.array([r["our_acc"] for r in s["rows"]])
+        ref_acc = np.array([r["ref_acc"] for r in s["rows"]])
+        ours_e = np.array([r["our_esjd"] for r in s["rows"]])
+        ref_e = np.array([r["ref_esjd"] for r in s["rows"]])
+        s["max_abs_acc_diff"] = float(np.max(np.abs(ours_acc - ref_acc)))
+        s["esjd_curve_corr"] = float(np.corrcoef(ours_e, ref_e)[0, 1])
+        s["ref_optimum_at"] = s["rows"][int(np.argmax(ref_e))]["target_rate"]
+        s["our_optimum_at"] = s["rows"][int(np.argmax(ours_e))]["target_rate"]
+        s["ref_acc_at_ref_optimum"] = float(ref_acc[int(np.argmax(ref_e))])
+        s["our_acc_at_our_optimum"] = float(ours_acc[int(np.argmax(ours_e))])
+        s["elapsed_s"] = s.get("elapsed_s", 0) + (time.time() - t0)
+        spreads = np.array([r.get("ref_acc_seed_std") or 0
+                            for r in s["rows"]])
+        if np.all(spreads > 0):
+            z = np.abs(ours_acc - ref_acc) / spreads
+            s["max_acc_z_vs_seed_spread"] = float(np.max(z))
+            s["rows_beyond_2sd"] = int(np.sum(z > 2.0))
+        json.dump(s, open(args.merge_into, "w"), indent=2)
+        if args.out and os.path.exists(args.out + ".partial"):
+            os.remove(args.out + ".partial")
+        print(f"merged {len(rows)} production point(s) into "
+              f"{args.merge_into}: max|dacc|={s['max_abs_acc_diff']:.4f} "
+              f"z={s.get('max_acc_z_vs_seed_spread', float('nan')):.1f}")
+        return
+
     ours_acc = np.array([r["our_acc"] for r in rows])
     ref_acc = np.array([r["ref_acc"] for r in rows])
     ours_e = np.array([r["our_esjd"] for r in rows])
