@@ -107,5 +107,67 @@ def test_auto_notes_methodology_markers(sp):
 
 def test_footnote_legend_defines_every_auto_marker(sp):
     # every marker auto_notes can emit must be documented in the footnotes
-    for marker in "fghijk":
+    for marker in "fghijkl":
         assert f"({marker})" in sp.FOOTNOTES, marker
+
+
+def test_auto_note_l_on_production_point_rows(sp):
+    prod = {"N_samples_swap_est": 1000000, "tolerance": 0.0001}
+    std = {"N_samples_swap_est": 50000, "tolerance": 0.005}
+    assert "l" in sp.auto_notes({"summary": {"rows": [
+        {"ladder_precision": prod}, {}]}})
+    assert "l" not in sp.auto_notes({"summary": {"rows": [
+        {"ladder_precision": std}, {}]}})
+
+
+def test_merge_into_replaces_rows_and_recomputes(tmp_path):
+    """--points/--merge_into: production rows land in place, stats update."""
+    import json
+    import subprocess
+    # a fake 3-point family summary with one bad point
+    fam = tmp_path / "Fam_PT_GPU_dim2_1000iters.json"
+    rows = [{"target_rate": 0.01, "ref_acc": 0.02, "our_acc": 0.20,
+             "ref_esjd": 1.0, "our_esjd": 1.1, "T": 6,
+             "ref_acc_seed_std": 0.001},
+            {"target_rate": 0.2, "ref_acc": 0.21, "our_acc": 0.211,
+             "ref_esjd": 2.0, "our_esjd": 2.0, "T": 8,
+             "ref_acc_seed_std": 0.001},
+            {"target_rate": 0.4, "ref_acc": 0.38, "our_acc": 0.381,
+             "ref_esjd": 1.5, "our_esjd": 1.5, "T": 10,
+             "ref_acc_seed_std": 0.001}]
+    json.dump({"algorithm": "PT", "rows": rows, "elapsed_s": 10.0,
+               "max_abs_acc_diff": 0.18, "esjd_curve_corr": 0.9,
+               "ref_optimum_at": 0.2, "our_optimum_at": 0.2,
+               "ref_acc_at_ref_optimum": 0.21,
+               "our_acc_at_our_optimum": 0.211,
+               "protocol": {"num_chains": 64}}, open(fam, "w"))
+    # a fake seed-averaged reference curve (3 grid points, stride 1)
+    ref = tmp_path / "ref_averaged.json"
+    json.dump({"target_distribution": "MultivariateNormal", "dimension": 2,
+               "num_iterations": 300, "num_files_averaged": 2,
+               "swap_acceptance_rates_range": [0.01, 0.2, 0.4],
+               "acceptance_rates": [0.02, 0.21, 0.38],
+               "acceptance_rates_seed_std": [0.001, 0.001, 0.001],
+               "expected_squared_jump_distances": [1.0, 2.0, 1.5]},
+              open(ref, "w"))
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts",
+                                      "parity_vs_reference.py"),
+         "--ref_file", str(ref), "--num_iters", "300", "--burn_in", "50",
+         "--num_chains", "64", "--points", "0", "--merge_into", str(fam),
+         "--N_samples_swap_est", "1000000", "--iterative_tolerance", "0.005",
+         "--cpu"],
+        capture_output=True, text=True, env=env, timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    s = json.load(open(fam))
+    assert len(s["rows"]) == 3
+    # point 0 replaced: carries the production tag + fresh measurements
+    assert s["rows"][0]["ladder_precision"]["N_samples_swap_est"] == 1000000
+    assert "acc_se" in s["rows"][0]
+    # untouched points keep their original values
+    assert s["rows"][1]["our_acc"] == 0.211
+    # summary stats recomputed over the merged rows, elapsed accumulated
+    assert s["max_abs_acc_diff"] == pytest.approx(
+        max(abs(r_["our_acc"] - r_["ref_acc"]) for r_ in s["rows"]))
+    assert s["elapsed_s"] > 10.0
