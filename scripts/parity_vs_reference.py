@@ -41,6 +41,47 @@ def _make_proposal(ref, dim, scale):
     raise ValueError(f"Unknown proposal in ref file: {name}")
 
 
+def ladder_cache_key(ref, rate, n_samples, tolerance, max_pn_steps,
+                     fail_tol_factor, seed):
+    return (f"{ref['target_distribution']}_d{ref['dimension']}_pt_gpu"
+            f"_rate{float(rate):.10g}_N{n_samples}_tol{tolerance:.10g}"
+            f"_pn{max_pn_steps}_fail{fail_tol_factor:.10g}_seed{seed}")
+
+
+def cached_ladder(cache_dir, ref, rate, n_samples, tolerance, max_pn_steps,
+                  fail_tol_factor, seed, target=None):
+    """Construct (or load) the iterative ladder for one grid point.
+
+    The production-precision SA build (N=1e6, tol=1e-4, max_pn=1000) costs
+    many CPU-minutes per point; caching it in a one-file-per-key directory
+    lets a CPU-only prepass (scripts/build_ladder_cache.py) run while the
+    TPU serves other work, with trivially safe concurrency.
+    """
+    key = ladder_cache_key(ref, rate, n_samples, tolerance, max_pn_steps,
+                           fail_tol_factor, seed)
+    path = cache_dir and os.path.join(cache_dir, key + ".json")
+    if path and os.path.exists(path):
+        return json.load(open(path))
+    from rwm_pt_tpu.ladders import construct_iterative_ladder
+    from rwm_pt_tpu.targets import get_target_distribution
+    if target is None:
+        target = get_target_distribution(ref["target_distribution"],
+                                         ref["dimension"], variant="pt_gpu")
+    ladder = construct_iterative_ladder(
+        target, target_swap_acceptance_rate=float(rate),
+        N_samples_swap_est=n_samples, tolerance=tolerance,
+        max_pn_adjustment_steps=max_pn_steps,
+        convergence_failure_tolerance_factor=fail_tol_factor,
+        seed=seed, verbose=False)
+    ladder = [float(b) for b in ladder]
+    if path:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}"
+        json.dump(ladder, open(tmp, "w"))
+        os.replace(tmp, path)
+    return ladder
+
+
 def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
     import jax
     import jax.numpy as jnp
@@ -91,12 +132,11 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
                   n_samples_swap_est, tolerance, max_pn_steps,
                   ladder_device=None, partial_out=None, ref_file_name=None,
-                  points=None, fail_tol_factor=3.0):
+                  points=None, fail_tol_factor=3.0, ladder_cache=None):
     import jax
     import jax.numpy as jnp
 
     from rwm_pt_tpu.kernels import run_pt
-    from rwm_pt_tpu.ladders import construct_iterative_ladder
     from rwm_pt_tpu.proposals import NormalProposal
     from rwm_pt_tpu.targets import get_target_distribution
 
@@ -133,12 +173,10 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
             continue
         t_lad = time.time()
         with ladder_ctx:
-            ladder = construct_iterative_ladder(
-                ladder_target, target_swap_acceptance_rate=float(rate),
-                N_samples_swap_est=n_samples_swap_est, tolerance=tolerance,
-                max_pn_adjustment_steps=max_pn_steps,
-                convergence_failure_tolerance_factor=fail_tol_factor,
-                seed=seed + i, verbose=False)
+            ladder = cached_ladder(ladder_cache, ref, rate,
+                                   n_samples_swap_est, tolerance,
+                                   max_pn_steps, fail_tol_factor, seed + i,
+                                   target=ladder_target)
         t_lad = time.time() - t_lad
         res = jax.block_until_ready(
             run_pt(target, prop, jax.random.fold_in(key, i),
@@ -204,6 +242,9 @@ def main(argv=None):
                    help="Comma-separated indices into the strided grid: run "
                         "only these points (e.g. re-run breaching points at "
                         "production ladder precision)")
+    p.add_argument("--ladder_cache", type=str, default=None,
+                   help="Directory of cached iterative ladders (one JSON per "
+                        "key); see scripts/build_ladder_cache.py")
     p.add_argument("--merge_into", type=str, default=None,
                    help="Existing family summary JSON: replace its rows at "
                         "the re-run points (matched by target_rate) and "
@@ -243,7 +284,8 @@ def main(argv=None):
                              partial_out=args.out,
                              ref_file_name=os.path.basename(args.ref_file),
                              points=points,
-                             fail_tol_factor=args.iterative_fail_tol_factor)
+                             fail_tol_factor=args.iterative_fail_tol_factor,
+                             ladder_cache=args.ladder_cache)
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
                               args.burn_in, args.stride, args.seed)

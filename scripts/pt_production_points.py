@@ -41,6 +41,8 @@ AVG_DIR = os.path.join(REPO, "data", "ref_averaged")
 # grid; chosen = all z>2 points plus every rate-0.01 / adjacent low-rate
 # point, from the audit of the standard-precision rows)
 POINTS = {
+    # 200k campaign whose low-rate points breach: same precision question
+    "MultivariateNormal_PT_GPU_dim10_200000iters": [0, 2],
     "MultivariateNormal_PT_GPU_dim20_500000iters": [0, 1],
     "MultivariateNormal_PT_GPU_dim30_500000iters": [0, 1, 2, 3],
     "RoughCarpet_PT_GPU_dim10_500000iters": [0, 1, 6, 9],
@@ -95,6 +97,8 @@ def main(argv=None):
                    "--ref_file", avg[0], "--match_protocol",
                    "--stride", "3", "--points", str(i),
                    "--ladder_device", "cpu",
+                   "--ladder_cache",
+                   os.path.join(REPO, "data", "ladder_cache"),
                    "--merge_into", os.path.join(OUT_DIR, fam + ".json")
                    ] + PROD
             rc = subprocess.call(cmd)
