@@ -219,10 +219,28 @@ def run_family(meta, ref, num_chains=512, realizations=16, seed=0,
                 jnp.mean(res.esjd), jnp.std(res.esjd))
 
     over_grid = jax.vmap(one, in_axes=(None, 0, 0))
+
+    # Chunk the grid so no single device call runs for minutes: the largest
+    # families (1e6 iters x 40 grid points, or 16-realization scaled sweeps)
+    # repeatedly die with UNAVAILABLE device errors over the tunnel when run
+    # as one XLA program, while the same work split into shorter calls
+    # survives.  Budget ~2.5e9 chain-steps per call.
+    work_per_pt = num_iters * C * R * max(1, meta["dim"] // 10)
+    n_chunks = max(1, -(-G * work_per_pt // int(2.5e9)))
+    csize = -(-G // n_chunks)
+
+    def chunked(call):
+        """call(lo, hi) -> 4-tuple over grid slice; concat over chunks."""
+        outs = [jax.block_until_ready(call(lo, min(lo + csize, G)))
+                for lo in range(0, G, csize)]
+        return [np.concatenate([np.asarray(o[i]) for o in outs], axis=-1)
+                for i in range(4)]
+
     if R > 1:
         fn = jax.jit(jax.vmap(over_grid, in_axes=(0, None, 0)))
-        acc, acc_sd, esjd, esjd_sd = jax.block_until_ready(
-            fn(tb, props, keys))
+        acc, acc_sd, esjd, esjd_sd = chunked(
+            lambda lo, hi: fn(tb, jax.tree.map(lambda x: x[lo:hi], props),
+                              keys[:, lo:hi]))
         acc_np, esjd_np = np.asarray(acc), np.asarray(esjd)
         our_acc, our_esjd = acc_np.mean(0), esjd_np.mean(0)
         # ensemble spread across target realizations (the analog of the
@@ -234,8 +252,9 @@ def run_family(meta, ref, num_chains=512, realizations=16, seed=0,
         acc_se = our_acc_real_sd / R ** 0.5
     else:
         fn = jax.jit(over_grid)
-        acc, acc_sd, esjd, esjd_sd = jax.block_until_ready(
-            fn(tb, props, keys[0]))
+        acc, acc_sd, esjd, esjd_sd = chunked(
+            lambda lo, hi: fn(tb, jax.tree.map(lambda x: x[lo:hi], props),
+                              keys[0, lo:hi]))
         our_acc, our_esjd = np.asarray(acc), np.asarray(esjd)
         acc_se = np.asarray(acc_sd) / C ** 0.5
         our_acc_real_sd = None
