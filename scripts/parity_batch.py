@@ -62,6 +62,9 @@ COVERED_DIRS = (os.path.join(REPO, "data", "parity_r2"), OUT_DIR)
 
 # families to skip: sub-10k-iteration smoke artifacts
 MIN_ITERS = 10_000
+# max chain-steps per device call: one XLA execution lasting minutes dies
+# with UNAVAILABLE over the tunnel, so big sweeps are split along the grid
+CHUNK_BUDGET = 2.5e9
 
 # (n1, n2) candidates per committed HybridRosenbrock dim: all integer
 # solutions of 1 + n2(n1-1) = dim with 2 <= n1 <= 16, n2 >= 1
@@ -226,7 +229,7 @@ def run_family(meta, ref, num_chains=512, realizations=16, seed=0,
     # as one XLA program, while the same work split into shorter calls
     # survives.  Budget ~2.5e9 chain-steps per call.
     work_per_pt = num_iters * C * R * max(1, meta["dim"] // 10)
-    n_chunks = max(1, -(-G * work_per_pt // int(2.5e9)))
+    n_chunks = max(1, -(-G * work_per_pt // int(CHUNK_BUDGET)))
     csize = -(-G // n_chunks)
 
     def chunked(call):

@@ -120,6 +120,27 @@ def test_auto_note_l_on_production_point_rows(sp):
         {"ladder_precision": std}, {}]}})
 
 
+def test_chunked_sweep_matches_single_call(pb, tmp_path, monkeypatch):
+    """Grid chunking must not change results: per-point keys are
+    independent, so a 1-point-per-call split equals the one-call sweep."""
+    import json
+    import numpy as np
+    ref = {"target_distribution": "MultivariateNormal", "dimension": 2,
+           "num_iterations": 400, "proposal_distribution": "Normal",
+           "scale_param_range": [0.5, 1.0, 2.0, 3.0],
+           "acceptance_rates": [0.9, 0.7, 0.5, 0.3],
+           "expected_squared_jump_distances": [0.1, 0.3, 0.4, 0.2]}
+    meta = {"family": "f", "target": "MultivariateNormal", "dim": 2,
+            "iters": 400, "burn_in": 50, "alg": "RWM_GPU",
+            "variant": "rwm_gpu", "scaled": False, "is_pt": False,
+            "proposal": "Normal"}
+    single = pb.run_family(meta, ref, num_chains=128, seed=3)[0]
+    monkeypatch.setattr(pb, "CHUNK_BUDGET", 1)   # force 1-point chunks
+    chunked = pb.run_family(meta, ref, num_chains=128, seed=3)[0]
+    for a, b in zip(single, chunked):
+        assert a == b, (a, b)
+
+
 def test_merge_into_replaces_rows_and_recomputes(tmp_path):
     """--points/--merge_into: production rows land in place, stats update."""
     import json
