@@ -8,15 +8,17 @@
 #  2. The PT production-precision point reruns (ladders come from the
 #     CPU-built cache, so each point is seconds of chip time).
 #
-# Usage: bash scripts/post_batch_tasks.sh <runner_pid>
+# Usage: bash scripts/post_batch_tasks.sh <pid> [<pid> ...]
+#   waits for ALL given pids (RWM batch runner + ladder-cache workers) so
+#   the PT runs find every production ladder cached and the chip idle
 set -u
 cd /root/repo
-WAIT_PID="${1:-}"
 LOG=logs/post_batch.log
 
-if [ -n "$WAIT_PID" ]; then
-  echo "waiting for pid $WAIT_PID..." >> "$LOG"
-  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
+RUNNER="${1:-}"; shift || true
+if [ -n "$RUNNER" ]; then
+  echo "waiting for runner pid $RUNNER..." >> "$LOG"
+  while kill -0 "$RUNNER" 2>/dev/null; do sleep 60; done
 fi
 
 for fam in RoughCarpetScaled_Normal_RWM_GPU_dim5_100000iters \
@@ -32,6 +34,12 @@ for fam in RoughCarpetScaled_Normal_RWM_GPU_dim5_100000iters \
     fi
     rm -f "$f.r16bak"
   fi
+done
+
+# the PT points need the full ladder cache: wait for the CPU workers
+for WAIT_PID in "$@"; do
+  echo "waiting for ladder worker pid $WAIT_PID..." >> "$LOG"
+  while kill -0 "$WAIT_PID" 2>/dev/null; do sleep 60; done
 done
 
 echo "=== PT production points $(date -u +%H:%M:%S) ===" >> "$LOG"
