@@ -37,19 +37,40 @@ import subprocess  # noqa: E402
 OUT_DIR = os.path.join(REPO, "data", "parity_r3")
 AVG_DIR = os.path.join(REPO, "data", "ref_averaged")
 
-# family -> standard-precision points to redo (indices into the stride-3
-# grid; chosen = all z>2 points plus every rate-0.01 / adjacent low-rate
-# point, from the audit of the standard-precision rows)
+# family -> grid points to redo at PRODUCTION ladder precision (indices
+# into the stride-3 grid): the low-target-rate points, where the
+# standard-precision construction artifact (dense ladder + appended-β_min
+# hot pair) dominates the delta.
 POINTS = {
     # 200k campaign whose low-rate points breach: same precision question
     "MultivariateNormal_PT_GPU_dim10_200000iters": [0, 2],
     "MultivariateNormal_PT_GPU_dim20_500000iters": [0, 1],
     "MultivariateNormal_PT_GPU_dim30_500000iters": [0, 1, 2, 3],
-    "RoughCarpet_PT_GPU_dim10_500000iters": [0, 1, 6, 9],
-    "RoughCarpet_PT_GPU_dim30_500000iters": [0, 1, 2, 3, 5, 6, 7, 8, 9],
+    "RoughCarpet_PT_GPU_dim10_500000iters": [0, 1],
+    "RoughCarpet_PT_GPU_dim30_500000iters": [0, 1, 2, 3],
     "ThreeMixture_PT_GPU_dim10_500000iters": [0, 1, 2],
-    "ThreeMixture_PT_GPU_dim20_500000iters": [0, 1, 8, 9],
+    "ThreeMixture_PT_GPU_dim20_500000iters": [0, 1],
 }
+
+# family -> mid-grid z>2 points re-run at STANDARD precision (cheap ladder,
+# same seed => same ladder as the original row) purely to record the
+# per-replica acc_se, which feeds the honest-z (z_MC) column; the small
+# mid-grid offsets are the footnote-(e) ladder-realization mechanism.
+STD_POINTS = {
+    "RoughCarpet_PT_GPU_dim10_500000iters": [6, 9],
+    "RoughCarpet_PT_GPU_dim30_500000iters": [5, 6, 7, 8, 9],
+    "ThreeMixture_PT_GPU_dim20_500000iters": [8, 9],
+    "MultivariateNormal_PT_GPU_dim20_500000iters": [6],
+    "MultivariateNormal_PT_GPU_dim30_500000iters": [6, 7, 8, 9],
+    "ThreeMixture_PT_GPU_dim10_500000iters": [7],
+    "RoughCarpet_PT_GPU_dim10_200000iters": [8],
+    "RoughCarpet_PT_GPU_dim20_200000iters": [8],
+    "RoughCarpet_PT_GPU_dim30_200000iters": [6],
+}
+STD = ["--N_samples_swap_est", "50000",
+       "--iterative_tolerance", "0.005",
+       "--iterative_max_pn_steps", "100",
+       "--iterative_fail_tol_factor", "3.0"]
 
 PROD = ["--N_samples_swap_est", "1000000",
         "--iterative_tolerance", "0.0001",
@@ -57,15 +78,24 @@ PROD = ["--N_samples_swap_est", "1000000",
         "--iterative_fail_tol_factor", "1"]
 
 
-def todo(fam, pts):
-    """Points not yet carrying a production row tag."""
-    path = os.path.join(OUT_DIR, fam + ".json")
-    s = json.load(open(path))
+def fam_path(fam):
+    for d in (OUT_DIR, os.path.join(REPO, "data", "parity_r2")):
+        p = os.path.join(d, fam + ".json")
+        if os.path.exists(p):
+            return p
+    raise FileNotFoundError(fam)
+
+
+def todo(fam, pts, production=True):
+    """Points not yet re-run (production tag / recorded acc_se)."""
+    s = json.load(open(fam_path(fam)))
     out = []
     for i in pts:
         lp = s["rows"][i].get("ladder_precision")
-        if not (isinstance(lp, dict)
-                and lp.get("N_samples_swap_est") == 1000000):
+        done = (isinstance(lp, dict)
+                and lp.get("N_samples_swap_est") == 1000000) if production \
+            else "acc_se" in s["rows"][i]
+        if not done:
             out.append(i)
     return out
 
@@ -76,19 +106,22 @@ def main(argv=None):
     p.add_argument("--family", action="append", default=None)
     args = p.parse_args(argv)
 
-    for fam, pts in POINTS.items():
+    work = ([(f, p, True) for f, p in POINTS.items()]
+            + [(f, p, False) for f, p in STD_POINTS.items()])
+    for fam, pts, production in work:
         if args.family and fam not in args.family:
             continue
-        left = todo(fam, pts)
+        left = todo(fam, pts, production)
+        kind = "production" if production else "std+acc_se"
         if args.list:
-            print(f"{fam}: {len(left)}/{len(pts)} points to do {left}")
+            print(f"{fam}: {len(left)}/{len(pts)} {kind} points to do {left}")
             continue
         if not left:
             continue
         avg = [a for a in glob.glob(os.path.join(AVG_DIR, "*.json"))
                if os.path.basename(a).startswith(fam + "_seeds")]
         assert len(avg) == 1, (fam, avg)
-        print(f"== {fam}: production points {left} ==", flush=True)
+        print(f"== {fam}: {kind} points {left} ==", flush=True)
         # one point per SUBPROCESS: a TPU device fault poisons the client
         # for the rest of that process, so isolate each point
         for i in left:
@@ -99,8 +132,8 @@ def main(argv=None):
                    "--ladder_device", "cpu",
                    "--ladder_cache",
                    os.path.join(REPO, "data", "ladder_cache"),
-                   "--merge_into", os.path.join(OUT_DIR, fam + ".json")
-                   ] + PROD
+                   "--merge_into", fam_path(fam)
+                   ] + (PROD if production else STD)
             rc = subprocess.call(cmd)
             if rc != 0:
                 print(f"    point {i} FAILED (rc={rc}); continuing",
