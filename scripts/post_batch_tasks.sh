@@ -21,8 +21,9 @@ if [ -n "$RUNNER" ]; then
   while kill -0 "$RUNNER" 2>/dev/null; do sleep 60; done
 fi
 
-for fam in RoughCarpetScaled_Normal_RWM_GPU_dim5_100000iters \
-           RoughCarpetScaled_Normal_RWM_GPU_dim2_100000iters; do
+# (d2_100000 dropped: it passes its z bar via the honest 15-seed
+# realization spread; its R=64 rerun hung during a flaky-tunnel window)
+for fam in RoughCarpetScaled_Normal_RWM_GPU_dim5_100000iters; do
   f="data/parity_r3/$fam.json"
   if [ -f "$f" ] && ! grep -q '"target_realizations": 64' "$f"; then
     mv "$f" "$f.r16bak"
