@@ -134,7 +134,14 @@ def main(argv=None):
                    os.path.join(REPO, "data", "ladder_cache"),
                    "--merge_into", fam_path(fam)
                    ] + (PROD if production else STD)
-            rc = subprocess.call(cmd)
+            try:
+                # hard per-point timeout: the tunnel intermittently HANGS
+                # device calls (not just faults); a hung point must not eat
+                # the batch.  500k x 512-chain PT runs take 30-90 s plus
+                # compile; ladders come from the cache.
+                rc = subprocess.call(cmd, timeout=900)
+            except subprocess.TimeoutExpired:
+                rc = "timeout"
             if rc != 0:
                 print(f"    point {i} FAILED (rc={rc}); continuing",
                       flush=True)
