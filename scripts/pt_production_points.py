@@ -104,10 +104,18 @@ def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--list", action="store_true")
     p.add_argument("--family", action="append", default=None)
+    p.add_argument("--std_only", action="store_true",
+                   help="run only the cheap std+acc_se points (no "
+                        "production-ladder dependency)")
+    p.add_argument("--production_only", action="store_true")
     args = p.parse_args(argv)
 
     work = ([(f, p, True) for f, p in POINTS.items()]
             + [(f, p, False) for f, p in STD_POINTS.items()])
+    if args.std_only:
+        work = [w for w in work if not w[2]]
+    if args.production_only:
+        work = [w for w in work if w[2]]
     for fam, pts, production in work:
         if args.family and fam not in args.family:
             continue
