@@ -43,10 +43,14 @@ def worklist():
         assert len(avg) == 1, (fam, avg)
         ref = json.load(open(avg[0]))
         grid = ref["swap_acceptance_rates_range"][::3]
-        for i in pts:
+        for rank, i in enumerate(pts):
             key = pvr.ladder_cache_key(ref, grid[i], seed=i, **PROD)
-            items.append((fam, i, float(grid[i]), ref, key))
-    return items
+            items.append((rank, fam, i, float(grid[i]), ref, key))
+    # breadth-first over families (every family's worst/lowest-rate point
+    # first, then the seconds, ...) so a time-bounded build fixes the most
+    # impactful point of EVERY family before any family's full set
+    items.sort(key=lambda it: it[0])
+    return [it[1:] for it in items]
 
 
 def main(argv=None):

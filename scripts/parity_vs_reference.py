@@ -24,6 +24,16 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# persistent XLA compilation cache: the parity drivers isolate each grid
+# point in its own subprocess (a TPU fault poisons the client), which
+# without this pays a fresh ~2-3 min TPU compile per point even for
+# identical shapes
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                 ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
 
 def _make_proposal(ref, dim, scale):
     """Proposal from the ref file's ``proposal_distribution`` field, with the
