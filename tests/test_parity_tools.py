@@ -192,3 +192,32 @@ def test_merge_into_replaces_rows_and_recomputes(tmp_path):
     assert s["max_abs_acc_diff"] == pytest.approx(
         max(abs(r_["our_acc"] - r_["ref_acc"]) for r_ in s["rows"]))
     assert s["elapsed_s"] > 10.0
+
+
+def test_auto_notes_referee_verdicts(sp, monkeypatch):
+    # all refereed points at exact equilibrium on our side -> (n)
+    monkeypatch.setattr(sp, "REFEREE", {
+        "FamN": ["ours=stationary"] * 3,
+        # one corner point transient, worst-z points stationary -> still (n)
+        "FamN2": ["both-transient", "ours=stationary", "ours=stationary"],
+        # transient-dominated / mixed-with-ref verdicts -> (o)
+        "FamO": ["both-transient"] * 3,
+        "FamO2": ["ref=stationary", "both-transient", "both-transient"],
+    })
+    assert "n" in sp.auto_notes({"family": "FamN", "summary": {}})
+    assert "n" in sp.auto_notes({"family": "FamN2", "summary": {}})
+    assert sp.auto_notes({"family": "FamO", "summary": {}}) == ["o"]
+    assert sp.auto_notes({"family": "FamO2", "summary": {}}) == ["o"]
+    # unrefereed rows get neither marker
+    assert sp.auto_notes({"family": "Other", "summary": {}}) == []
+
+
+def test_footnote_legend_defines_referee_markers(sp):
+    for marker in "no":
+        assert f"({marker})" in sp.FOOTNOTES, marker
+    # the real referee data file backs the markers for committed rows
+    import json as _json
+    ref = _json.load(open("data/stationary_referee.json"))
+    assert ref and all(p["verdict"] in (
+        "ours=stationary", "ref=stationary", "both-transient")
+        for pts in ref.values() for p in pts)
