@@ -130,29 +130,31 @@ def main(argv=None):
                if os.path.basename(a).startswith(fam + "_seeds")]
         assert len(avg) == 1, (fam, avg)
         print(f"== {fam}: {kind} points {left} ==", flush=True)
-        # one point per SUBPROCESS: a TPU device fault poisons the client
-        # for the rest of that process, so isolate each point
-        for i in left:
-            cmd = [sys.executable,
-                   os.path.join(REPO, "scripts", "parity_vs_reference.py"),
-                   "--ref_file", avg[0], "--match_protocol",
-                   "--stride", "3", "--points", str(i),
-                   "--ladder_device", "cpu",
-                   "--ladder_cache",
-                   os.path.join(REPO, "data", "ladder_cache"),
-                   "--merge_into", fam_path(fam)
-                   ] + (PROD if production else STD)
-            try:
-                # hard per-point timeout: the tunnel intermittently HANGS
-                # device calls (not just faults); a hung point must not eat
-                # the batch.  500k x 512-chain PT runs take 30-90 s plus
-                # compile; ladders come from the cache.
-                rc = subprocess.call(cmd, timeout=900)
-            except subprocess.TimeoutExpired:
-                rc = "timeout"
-            if rc != 0:
-                print(f"    point {i} FAILED (rc={rc}); continuing",
-                      flush=True)
+        # one family per SUBPROCESS: a TPU device fault poisons the client,
+        # so families stay isolated, but points within a family share one
+        # process — one TPU init, and the persistent compile cache
+        # (parity_vs_reference.py header) serves repeat (dim, T) shapes
+        cmd = [sys.executable,
+               os.path.join(REPO, "scripts", "parity_vs_reference.py"),
+               "--ref_file", avg[0], "--match_protocol",
+               "--stride", "3",
+               "--points", ",".join(str(i) for i in left),
+               "--ladder_device", "cpu",
+               "--ladder_cache",
+               os.path.join(REPO, "data", "ladder_cache"),
+               "--merge_into", fam_path(fam)
+               ] + (PROD if production else STD)
+        try:
+            # hard timeout: the tunnel intermittently HANGS device calls
+            # (not just faults); a hung family must not eat the batch.
+            # 500k x 512-chain PT runs take 30-90 s plus compile; production
+            # ladders come from the cache.
+            rc = subprocess.call(cmd, timeout=300 + 600 * len(left))
+        except subprocess.TimeoutExpired:
+            rc = "timeout"
+        if rc != 0:
+            print(f"    points {left} FAILED (rc={rc}); continuing",
+                  flush=True)
 
 
 if __name__ == "__main__":
