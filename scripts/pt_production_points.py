@@ -42,14 +42,24 @@ AVG_DIR = os.path.join(REPO, "data", "ref_averaged")
 # standard-precision construction artifact (dense ladder + appended-β_min
 # hot pair) dominates the delta.
 POINTS = {
-    # 200k campaign whose low-rate points breach: same precision question
-    "MultivariateNormal_PT_GPU_dim10_200000iters": [0, 2],
-    "MultivariateNormal_PT_GPU_dim20_500000iters": [0, 1],
-    "MultivariateNormal_PT_GPU_dim30_500000iters": [0, 1, 2, 3],
-    "RoughCarpet_PT_GPU_dim10_500000iters": [0, 1],
-    "RoughCarpet_PT_GPU_dim30_500000iters": [0, 1, 2, 3],
-    "ThreeMixture_PT_GPU_dim10_500000iters": [0, 1, 2],
-    "ThreeMixture_PT_GPU_dim20_500000iters": [0, 1],
+    # impact order (worst unexplained z first).  The rate-0.01 (pt0)
+    # points are EXCLUDED here: their production SA ladder build fails the
+    # strict tolerance and grinds through ~30 CPU-minutes per point (both
+    # cache workers measured >16 min without converging), and the outcome
+    # is already characterized — at production precision the 0.01 build
+    # lands in the sparse/degenerate regime (the r2 campaigns excluded
+    # these points as degenerate, e.g. MultivariateNormal_PT_GPU_dim10_
+    # 500000iters row, excl=1) while the standard-precision build's dense
+    # ladder inflates the mean swap rate (footnote (l)); the committed
+    # value there is the frozen-swap-rate accounting artifact (matrix
+    # `excl` text).  See footnote (p).
+    "MultivariateNormal_PT_GPU_dim20_500000iters": [1],
+    "MultivariateNormal_PT_GPU_dim30_500000iters": [1, 3, 2],
+    "ThreeMixture_PT_GPU_dim20_500000iters": [1],
+    "ThreeMixture_PT_GPU_dim10_500000iters": [2, 1],
+    "MultivariateNormal_PT_GPU_dim10_200000iters": [2],
+    "RoughCarpet_PT_GPU_dim10_500000iters": [1],
+    "RoughCarpet_PT_GPU_dim30_500000iters": [1, 2, 3],
 }
 
 # family -> mid-grid z>2 points re-run at STANDARD precision (cheap ladder,
@@ -57,12 +67,15 @@ POINTS = {
 # per-replica acc_se, which feeds the honest-z (z_MC) column; the small
 # mid-grid offsets are the footnote-(e) ladder-realization mechanism.
 STD_POINTS = {
-    "RoughCarpet_PT_GPU_dim10_500000iters": [6, 9],
-    "RoughCarpet_PT_GPU_dim30_500000iters": [5, 6, 7, 8, 9],
+    # impact order: families whose committed-bar pass additionally needs
+    # the honest-z denominator at mid-grid points come first; the
+    # RoughCarpet families (already root-caused, footnote (e)) last
     "ThreeMixture_PT_GPU_dim20_500000iters": [8, 9],
     "MultivariateNormal_PT_GPU_dim20_500000iters": [6],
     "MultivariateNormal_PT_GPU_dim30_500000iters": [6, 7, 8, 9],
     "ThreeMixture_PT_GPU_dim10_500000iters": [7],
+    "RoughCarpet_PT_GPU_dim10_500000iters": [6, 9],
+    "RoughCarpet_PT_GPU_dim30_500000iters": [5, 6, 7, 8, 9],
     "RoughCarpet_PT_GPU_dim10_200000iters": [8],
     "RoughCarpet_PT_GPU_dim20_200000iters": [8],
     "RoughCarpet_PT_GPU_dim30_200000iters": [6],

@@ -213,7 +213,7 @@ def test_auto_notes_referee_verdicts(sp, monkeypatch):
 
 
 def test_footnote_legend_defines_referee_markers(sp):
-    for marker in "no":
+    for marker in "nop":
         assert f"({marker})" in sp.FOOTNOTES, marker
     # the real referee data file backs the markers for committed rows
     import json as _json
