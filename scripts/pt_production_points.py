@@ -54,7 +54,13 @@ POINTS = {
     # value there is the frozen-swap-rate accounting artifact (matrix
     # `excl` text).  See footnote (p).
     "MultivariateNormal_PT_GPU_dim20_500000iters": [1],
-    "MultivariateNormal_PT_GPU_dim30_500000iters": [1, 3, 2],
+    # d30/500k: ALL flagged points at production precision — the std+acc_se
+    # rerun of its mid/high-rate points realized different cheap ladders
+    # (e.g. T=14 vs the original T=15 at rate 0.4155, moving the achieved
+    # rate by 0.009 between two std builds of the SAME target/rate), so for
+    # this family only the production construction the committed campaign
+    # actually used is apples-to-apples.
+    "MultivariateNormal_PT_GPU_dim30_500000iters": [1, 3, 2, 8, 6, 7, 9],
     "ThreeMixture_PT_GPU_dim20_500000iters": [1],
     "ThreeMixture_PT_GPU_dim10_500000iters": [2, 1],
     "MultivariateNormal_PT_GPU_dim10_200000iters": [2],
