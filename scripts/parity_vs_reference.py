@@ -308,11 +308,33 @@ def main(argv=None):
                     "max_pn_steps": args.iterative_max_pn_steps,
                     "fail_tol_factor": args.iterative_fail_tol_factor}
         s = json.load(open(args.merge_into))
+        production = args.N_samples_swap_est >= 1000000
         for new in rows:
             new["ladder_precision"] = lad_prec
             hit = [j for j, old in enumerate(s["rows"])
                    if np.isclose(old["target_rate"], new["target_rate"])]
             assert len(hit) == 1, (new["target_rate"], hit)
+            old = s["rows"][hit[0]]
+            # A standard-precision rerun can realize a DIFFERENT ladder than
+            # the committed row (the SA build's rung count T is a discrete,
+            # stream-sensitive outcome — two std builds of the same
+            # target/rate have measured T=14 vs T=15, moving the achieved
+            # rate by ~0.009).  Replacing the row with a non-comparable
+            # ladder realization would corrupt the committed point estimate,
+            # so a std rerun only ever ATTACHES the per-replica acc_se (the
+            # honest-z denominator) on a T mismatch; full row replacement is
+            # reserved for T-matching reruns and for production-precision
+            # reruns (which reproduce the committed campaign's own
+            # construction and are the apples-to-apples estimate by design).
+            if (not production and "T" in old and "T" in new
+                    and old["T"] != new["T"]):
+                old["acc_se"] = new["acc_se"]
+                old["acc_se_ladder_T"] = new["T"]
+                print(f"  attach-only @ rate {new['target_rate']:.4f}: std "
+                      f"rerun realized T={new['T']} vs committed T="
+                      f"{old['T']}; keeping original point estimates",
+                      flush=True)
+                continue
             s["rows"][hit[0]] = new
         ours_acc = np.array([r["our_acc"] for r in s["rows"]])
         ref_acc = np.array([r["ref_acc"] for r in s["rows"]])

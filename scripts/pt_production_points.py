@@ -68,10 +68,14 @@ POINTS = {
     "RoughCarpet_PT_GPU_dim30_500000iters": [1, 2, 3],
 }
 
-# family -> mid-grid z>2 points re-run at STANDARD precision (cheap ladder,
-# same seed => same ladder as the original row) purely to record the
-# per-replica acc_se, which feeds the honest-z (z_MC) column; the small
-# mid-grid offsets are the footnote-(e) ladder-realization mechanism.
+# family -> mid-grid z>2 points re-run at STANDARD precision purely to
+# record the per-replica acc_se, which feeds the honest-z (z_MC) column;
+# the small mid-grid offsets are the footnote-(e) ladder-realization
+# mechanism.  NOTE: the SA build's rung count T is a discrete,
+# stream-sensitive outcome, so a std rerun may realize a DIFFERENT ladder
+# than the committed row (measured: T=14 vs T=15 at the same target/rate);
+# parity_vs_reference.py --merge_into therefore attaches acc_se only (no
+# row replacement) whenever the rerun's T mismatches the committed row's.
 STD_POINTS = {
     # impact order: families whose committed-bar pass additionally needs
     # the honest-z denominator at mid-grid points come first; the
