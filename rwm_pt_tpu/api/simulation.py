@@ -116,6 +116,21 @@ class MCMCSimulation:
         self.target_dist = target_dist
         self.proposal_config = proposal_config
         self.proposal_dist = create_proposal_distribution(dim, proposal_config)
+        # optional per-rung tuned variance multipliers riding in the config
+        # (the round-trip output of tuned_proposal_config() on an autotuned
+        # PT run): effective variance = base * c_t / beta_t; increments only,
+        # the accept ratio keeps the true betas (kernels/adapt.py law)
+        self._rung_multipliers = None
+        rm = (proposal_config.get("params") or {}).get(
+            "rung_scale_multipliers")
+        if rm is not None:
+            if not is_pt:
+                raise ValueError("rung_scale_multipliers in proposal_config "
+                                 "requires a PT algorithm (it is per-rung)")
+            if use_mesh:
+                raise ValueError("rung_scale_multipliers is not supported "
+                                 "with use_mesh yet; drop the mesh")
+            self._rung_multipliers = np.asarray(rm, float)
         self.num_chains = num_chains
         self.swap_every = swap_every
         # swap-event pair order on the scan engine: "even_odd" (vectorized
@@ -173,6 +188,13 @@ class MCMCSimulation:
                 self.beta_ladder = construct_geometric_ladder()
             self.algorithm_name = ("PT_RWM_TPU_ITERATIVE_LADDER"
                                    if iterative_temp_spacing else "PT_RWM_TPU")
+            if (self._rung_multipliers is not None
+                    and len(self._rung_multipliers) != len(self.beta_ladder)):
+                raise ValueError(
+                    f"rung_scale_multipliers has {len(self._rung_multipliers)}"
+                    f" entries but the ladder has {len(self.beta_ladder)} "
+                    f"rungs; pass the beta_ladder the tuning run used "
+                    f"(MCMCSimulation(beta_ladder=...))")
         else:
             self.beta_ladder = None
 
@@ -194,9 +216,14 @@ class MCMCSimulation:
         if autotune and cpu_semantics:
             raise ValueError("autotune is not implemented for the CPU PT "
                              "semantics path (cpu_semantics=True)")
-        if autotune and engine == "pallas":
-            raise ValueError("autotune runs on the scan engine; it cannot "
-                             "honor engine='pallas'")
+        # autotune + engine='pallas' is the two-phase flow: tune on the scan
+        # engine during burn-in, then hand the frozen per-rung multipliers
+        # to the Pallas engine for the measurement phase (generate_samples)
+        if autotune and engine == "pallas" and use_mesh:
+            raise ValueError("autotune with engine='pallas' does not "
+                             "support a mesh (the tuned handoff resumes an "
+                             "unsharded scan state); drop use_mesh or use "
+                             "engine='scan'")
         if autotune:
             record_chain = False
 
@@ -220,9 +247,13 @@ class MCMCSimulation:
             if iterative_temp_spacing:
                 raise ValueError("autotune_ladder replaces "
                                  "iterative_temp_spacing; pick one")
-            if cpu_semantics or engine == "pallas":
+            if cpu_semantics:
                 raise ValueError("autotune_ladder runs on the scan engine "
                                  "with GPU swap semantics")
+            if engine == "pallas" and use_mesh:
+                raise ValueError("autotune_ladder with engine='pallas' does "
+                                 "not support a mesh; drop use_mesh or use "
+                                 "engine='scan'")
             if record_chain:
                 raise ValueError("autotune_ladder=True requires "
                                  "record_chain=False")
@@ -417,12 +448,22 @@ class MCMCSimulation:
         self._engine_used = "scan"
         if self.autotune:
             from ..kernels import run_pt_adaptive, run_rwm_adaptive
+            # engine='pallas': two-phase — tune during burn-in on the scan
+            # engine (num_iterations=0: the adaptive scan covers exactly the
+            # burn_in steps, where adaptation lives anyway), then run the
+            # measurement phase on the Pallas engine, resuming the tuned
+            # state at the frozen per-rung multipliers.
+            two_phase = self.engine == "pallas"
+            if two_phase:
+                # fail before the tuning run, not after it
+                self._check_pallas_measurement()
+            tune_iters = 0 if two_phase else self.num_iterations
             if self.is_pt:
                 tuned = run_pt_adaptive(
                     self.target_dist, self.proposal_dist, self.key,
                     jnp.asarray(self.beta_ladder, default_float()),
                     num_chains=self.num_chains,
-                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    num_iterations=tune_iters, burn_in=self.burn_in,
                     swap_every=self.swap_every,
                     target_accept=self.autotune_target,
                     adapt_every=self.autotune_every, init_states=init_states)
@@ -430,26 +471,36 @@ class MCMCSimulation:
                 tuned = run_rwm_adaptive(
                     self.target_dist, self.proposal_dist, self.key,
                     num_chains=self.num_chains,
-                    num_iterations=self.num_iterations, burn_in=self.burn_in,
+                    num_iterations=tune_iters, burn_in=self.burn_in,
                     target_accept=self.autotune_target,
                     adapt_every=self.autotune_every, init_states=init_states)
             tuned = force(tuned)
             self._tuned = tuned
-            self._result = tuned.result
+            if two_phase:
+                self._result = force(self._pallas_measurement(
+                    tuned.result.state, np.asarray(tuned[1])))
+                self._engine_used = "pallas"
+            else:
+                self._result = tuned.result
             self._elapsed = time.time() - start
             if verbose:
                 mult = np.asarray(tuned[1])
                 print(f"Autotuned proposal scale multiplier: "
                       f"{np.array2string(mult, precision=3)} "
-                      f"(target acceptance {self.autotune_target})")
+                      f"(target acceptance {self.autotune_target})"
+                      + (" [measurement phase: pallas]" if two_phase else ""))
             return None
         if self.autotune_ladder:
             from ..kernels import run_pt_ladder_adaptive
+            two_phase = self.engine == "pallas"
+            if two_phase:
+                self._check_pallas_measurement()
+            tune_iters = 0 if two_phase else self.num_iterations
             tuned = run_pt_ladder_adaptive(
                 self.target_dist, self.proposal_dist, self.key,
                 num_rungs=len(self.beta_ladder),
                 num_chains=self.num_chains,
-                num_iterations=self.num_iterations, burn_in=self.burn_in,
+                num_iterations=tune_iters, burn_in=self.burn_in,
                 swap_every=self.swap_every,
                 adapt_every=self.autotune_every,
                 target_swap_accept=self._target_swap_accept,
@@ -459,12 +510,18 @@ class MCMCSimulation:
             # the tuned ladder becomes the run's ladder: diagnostics, JSON
             # output and follow-up runs all see the adapted betas
             self.beta_ladder = [float(b) for b in self._tuned_ladder]
-            self._result = tuned.result
+            if two_phase:
+                self._result = force(self._pallas_measurement(
+                    tuned.result.state, None))
+                self._engine_used = "pallas"
+            else:
+                self._result = tuned.result
             self._elapsed = time.time() - start
             if verbose:
                 print(f"Autotuned beta ladder: "
                       f"{np.array2string(self._tuned_ladder, precision=4)} "
-                      f"(target swap acceptance {self._target_swap_accept})")
+                      f"(target swap acceptance {self._target_swap_accept})"
+                      + (" [measurement phase: pallas]" if two_phase else ""))
             return None
         if self._use_pallas():
             self._engine_used = "pallas"
@@ -500,7 +557,8 @@ class MCMCSimulation:
                     proposal=self.proposal_dist, num_chains=self.num_chains,
                     num_iterations=self.num_iterations, burn_in=self.burn_in,
                     swap_every=self.swap_every, init_states=init_states,
-                    record_every=rec, record_chains=self.record_chains)
+                    record_every=rec, record_chains=self.record_chains,
+                    scale_multipliers=self._rung_multipliers)
             else:
                 res = run_rwm_pallas(
                     self.target_dist, self.key, proposal=self.proposal_dist,
@@ -518,7 +576,8 @@ class MCMCSimulation:
                          init_states=init_states, symmetric=self.symmetric,
                          record_every=rec, record_chains=self.record_chains,
                          progress_every=progress_every,
-                         swap_sweep=self.swap_sweep, layout=self._pt_layout)
+                         swap_sweep=self.swap_sweep, layout=self._pt_layout,
+                         scale_multipliers=self._rung_multipliers)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                           num_chains=self.num_chains,
@@ -542,6 +601,67 @@ class MCMCSimulation:
                   f"chains in {self._elapsed:.2f} seconds "
                   f"({total_steps / self._elapsed:,.0f} MH steps/s)")
         return self._chain_np
+
+    def _check_pallas_measurement(self):
+        kind = self.proposal_config.get("name")
+        ok = (kind in ("Normal", "Laplace", "UniformRadius")
+              and jax.default_backend() == "tpu"
+              and not jax.config.jax_enable_x64
+              and self.symmetric and self.mesh is None
+              and not self.cpu_semantics)
+        if not ok:
+            raise ValueError(
+                "autotune with engine='pallas' requires a library proposal "
+                "(Normal/Laplace/UniformRadius), the TPU backend, float32 "
+                "(x64 disabled), symmetric=True, no mesh, and GPU swap "
+                "semantics — use engine='scan' otherwise")
+
+    def _pallas_measurement(self, state, mult):
+        """Measurement phase of an autotuned ``engine='pallas'`` run: resume
+        the burn-in-tuned scan state on the Pallas engine at the frozen
+        tuned scales.
+
+        PT: the FULL per-rung multiplier vector feeds the kernel's per-rung
+        scale input (``run_pt_pallas(scale_multipliers=...)``) — no lossy
+        cold-rung-only collapse.  RWM: the scalar multiplier folds exactly
+        into the proposal's base scale.  ``mult=None`` (ladder autotune)
+        keeps the untuned proposal scales and only carries the tuned betas.
+        """
+        self._check_pallas_measurement()
+        from ..kernels import run_pt_pallas, run_rwm_pallas
+        if self.is_pt:
+            return run_pt_pallas(
+                self.target_dist, self.key,
+                jnp.asarray(self.beta_ladder, default_float()),
+                proposal=self.proposal_dist, num_chains=self.num_chains,
+                num_iterations=self.num_iterations, burn_in=self.burn_in,
+                swap_every=self.swap_every, resume_state=state,
+                scale_multipliers=None if mult is None
+                else jnp.asarray(mult, jnp.float32))
+        prop = create_proposal_distribution(
+            self.dim, self._scaled_config(float(mult)))
+        return run_rwm_pallas(
+            self.target_dist, self.key, proposal=prop,
+            num_chains=self.num_chains, num_iterations=self.num_iterations,
+            burn_in=self.burn_in, resume_state=state)
+
+    def _scaled_config(self, c: float) -> dict:
+        """The proposal config with its base scale rescaled by a variance
+        multiplier ``c`` (variance scales by c for Normal/Laplace, radius by
+        sqrt(c) for UniformRadius — the reference scaling laws)."""
+        name = self.proposal_config["name"]
+        params = dict(self.proposal_config.get("params", {}))
+        params.pop("rung_scale_multipliers", None)
+        if name == "Normal":
+            params["base_variance_scalar"] = (
+                float(params["base_variance_scalar"]) * c)
+        elif name == "Laplace":
+            params["base_variance_vector"] = (
+                np.asarray(params["base_variance_vector"], float) * c).tolist()
+        else:  # UniformRadius
+            params["base_radius"] = (
+                float(params["base_radius"]) * float(np.sqrt(c)))
+        return {"name": name, "params": params}
 
     def _generate_samples_segmented(self, segment_every: int,
                                     checkpoint_path: Optional[str],
@@ -580,7 +700,8 @@ class MCMCSimulation:
                         proposal=self.proposal_dist,
                         num_chains=self.num_chains, num_iterations=n,
                         burn_in=self.burn_in, swap_every=self.swap_every,
-                        init_states=init, resume_state=state)
+                        init_states=init, resume_state=state,
+                        scale_multipliers=self._rung_multipliers)
                 else:
                     res = run_rwm_pallas(
                         self.target_dist, self.key,
@@ -596,7 +717,8 @@ class MCMCSimulation:
                              cpu_semantics=self.cpu_semantics,
                              init_states=init, swap_sweep=self.swap_sweep,
                              layout=self._pt_layout,
-                             symmetric=self.symmetric, resume_state=state)
+                             symmetric=self.symmetric, resume_state=state,
+                             scale_multipliers=self._rung_multipliers)
             else:
                 res = run_rwm(self.target_dist, self.proposal_dist, self.key,
                               num_chains=self.num_chains, num_iterations=n,
@@ -673,6 +795,13 @@ class MCMCSimulation:
     def elapsed_time(self) -> Optional[float]:
         return self._elapsed
 
+    @property
+    def engine_used(self) -> Optional[str]:
+        """Engine of the last run: 'scan' or 'pallas' (None before a run).
+        An autotuned ``engine='pallas'`` run reports 'pallas' — its
+        measurement phase ran there (the burn-in tune runs on scan)."""
+        return self._engine_used
+
     def get_diagnostic_info(self) -> dict:
         """Diagnostics dict in the spirit of the reference's
         (rwm_gpu_optimized.py:536-551, pt_rwm_gpu_optimized.py:791-811)."""
@@ -721,32 +850,26 @@ class MCMCSimulation:
                 else [float(b) for b in self._tuned_ladder])
 
     def tuned_proposal_config(self) -> dict:
-        """The proposal config rescaled by the autotuned multiplier ``c`` —
-        pass it to a fresh ``MCMCSimulation`` to rerun at the tuned scale
-        (variance scales by c for Normal/Laplace, radius by sqrt(c)).
+        """The proposal config carrying the autotuned multiplier(s) — pass
+        it to a fresh ``MCMCSimulation`` to rerun at the tuned scale.
 
-        PT caveat: the config schema holds one base scale, so this applies
-        the *cold-rung* multiplier only; hot rungs then revert to the
-        ``base/beta`` law.  The full per-rung vector is in
-        ``get_diagnostic_info()['tuned_scale_multiplier']`` — to reproduce
-        the fully tuned PT sampler, rerun with ``autotune=True``."""
+        RWM: the scalar multiplier folds into the base scale (variance
+        scales by c for Normal/Laplace, radius by sqrt(c)).  PT: the FULL
+        per-rung vector rides along as ``params['rung_scale_multipliers']``
+        (effective variance ``base * c_t / beta_t``); the fresh simulation
+        must be given the same ``beta_ladder`` this run tuned on
+        (``self.beta_ladder``), and both engines honor the vector
+        (``run_pt(scale_multipliers=...)`` / ``run_pt_pallas`` per-rung
+        stds)."""
         if self._tuned is None:
             raise ValueError("run generate_samples with autotune=True first")
         c = np.asarray(self._tuned[1])
-        name = self.proposal_config["name"]
-        params = dict(self.proposal_config.get("params", {}))
-        c_cold = float(c if c.ndim == 0 else c[0])
-        if name == "Normal":
-            params["base_variance_scalar"] = (
-                float(params["base_variance_scalar"]) * c_cold)
-        elif name == "Laplace":
-            params["base_variance_vector"] = (
-                np.asarray(params["base_variance_vector"], float)
-                * c_cold).tolist()
-        else:  # UniformRadius
-            params["base_radius"] = (
-                float(params["base_radius"]) * float(np.sqrt(c_cold)))
-        return {"name": name, "params": params}
+        if c.ndim == 1:   # PT: round-trip the whole tuned vector, lossless
+            name = self.proposal_config["name"]
+            params = dict(self.proposal_config.get("params", {}))
+            params["rung_scale_multipliers"] = [float(x) for x in c]
+            return {"name": name, "params": params}
+        return self._scaled_config(float(c))
 
     # ----------------------------------------------------------- persistence
     def _write_state(self, state, path: str):
@@ -839,7 +962,8 @@ class MCMCSimulation:
                     jnp.asarray(self.beta_ladder, default_float()),
                     proposal=self.proposal_dist, num_chains=self.num_chains,
                     num_iterations=n, burn_in=self.burn_in,
-                    swap_every=self.swap_every, resume_state=state)
+                    swap_every=self.swap_every, resume_state=state,
+                    scale_multipliers=self._rung_multipliers)
             else:
                 res = run_rwm_pallas(
                     self.target_dist, key, proposal=self.proposal_dist,
@@ -856,7 +980,8 @@ class MCMCSimulation:
                          burn_in=self.burn_in, swap_every=self.swap_every,
                          cpu_semantics=self.cpu_semantics,
                          swap_sweep=self.swap_sweep, layout=self._pt_layout,
-                         symmetric=self.symmetric, resume_state=state)
+                         symmetric=self.symmetric, resume_state=state,
+                         scale_multipliers=self._rung_multipliers)
         else:
             res = run_rwm(self.target_dist, self.proposal_dist, key,
                           num_chains=self.num_chains, num_iterations=n,
@@ -996,21 +1121,30 @@ class MCMCSimulation:
     # ------------------------------------------------------------- benchmark
     def benchmark_performance(self, num_samples_list=(1000, 5000, 10000, 50000)):
         """Throughput sweep (simulation_gpu.py:252-311).  Reports compiled
-        steady-state rates; the first entry includes compile time separately."""
+        steady-state rates; the first entry includes compile time separately.
+
+        A completed run's results (``_result`` / chain / walltime) are
+        snapshotted before the sweep and restored afterwards, so calling this
+        after :meth:`generate_samples` does NOT discard that run —
+        ``acceptance_rate()`` etc. keep answering for the original run."""
         results = {"sample_sizes": list(num_samples_list), "times": [],
                    "samples_per_sec": [], "mh_steps_per_sec": []}
         orig = self.num_iterations
-        for n in num_samples_list:
-            self.reset()
-            self.num_iterations = n
-            t0 = time.time()
-            self.generate_samples(verbose=False)
-            dt = time.time() - t0
-            steps = n * self.num_chains * (len(self.beta_ladder) if self.is_pt else 1)
-            results["times"].append(dt)
-            results["samples_per_sec"].append(n / dt)
-            results["mh_steps_per_sec"].append(steps / dt)
-            print(f"  {n} samples: {dt:.3f}s, {steps / dt:,.0f} MH steps/s")
-        self.num_iterations = orig
-        self.reset()
+        saved = (self._result, self._chain_np, self._elapsed)
+        try:
+            for n in num_samples_list:
+                self.reset()
+                self.num_iterations = n
+                t0 = time.time()
+                self.generate_samples(verbose=False)
+                dt = time.time() - t0
+                steps = n * self.num_chains * (len(self.beta_ladder)
+                                               if self.is_pt else 1)
+                results["times"].append(dt)
+                results["samples_per_sec"].append(n / dt)
+                results["mh_steps_per_sec"].append(steps / dt)
+                print(f"  {n} samples: {dt:.3f}s, {steps / dt:,.0f} MH steps/s")
+        finally:
+            self.num_iterations = orig
+            self._result, self._chain_np, self._elapsed = saved
         return results

@@ -227,6 +227,12 @@ def main(argv=None):
     parser.add_argument("--laplace_anisotropic", type=str, default=None,
                         help="JSON list for anisotropic Laplace variance vector")
     parser.add_argument("--no_plots", action="store_true")
+    # sweep runs never resume mid-point, so threefry's bitwise-resume
+    # stream-separation contract buys nothing here; rbg is measurably
+    # faster on TPU with identical statistics (parity spot-check:
+    # data/parity_r4/rbg_spotcheck.json).  API/checkpointed runs keep the
+    # threefry default (api/simulation.py rng_impl).
+    parser.set_defaults(rng="rbg")
     args = parser.parse_args(argv)
     configure_backend(args)
 

@@ -231,7 +231,8 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
                   swap_every: int = 100, init_states=None,
                   proposal: Any = None, block: int = 2048,
                   record_every: int = None, record_chains: int = 1,
-                  resume_state=None, interpret: bool = False) -> PTResult:
+                  resume_state=None, interpret: bool = False,
+                  scale_multipliers=None) -> PTResult:
     """Pallas-fused PT run.  Metrics contract matches
     :func:`rwm_pt_tpu.kernels.run_pt`, including full ``(T, C)`` per-rung MH
     acceptance counters.
@@ -246,7 +247,12 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
 
     ``resume_state``: continue a previous :class:`PTState` for another
     ``num_iterations`` steps with cumulative accounting (statistical, not
-    bitwise, continuation — the hardware PRNG re-seeds per segment)."""
+    bitwise, continuation — the hardware PRNG re-seeds per segment).
+
+    ``scale_multipliers``: optional ``(T,)`` per-rung proposal-scale
+    multipliers ``c`` (effective variance ``base * c_t / beta_t``) — lets a
+    scan-engine burn-in autotune hand its full tuned vector to this engine
+    for the measurement phase (api/simulation.py autotune + engine='pallas')."""
     dim = target.dim
     kind = "Normal" if proposal is None else _proposal_kind(proposal)
     if proposal is None and base_variance is None:
@@ -293,19 +299,23 @@ def run_pt_pallas(target: Any, key, betas, *, base_variance: float = None,
                               dtype=jnp.int32)
     seed = jnp.stack([seed[0], step0])
     # per-rung effective scales (variance/beta for Normal & Laplace,
-    # radius/sqrt(beta) for UniformRadius — reference scaling laws)
+    # radius/sqrt(beta) for UniformRadius — reference scaling laws),
+    # optionally rescaled by tuned per-rung variance multipliers c
+    mult = (jnp.ones_like(betas) if scale_multipliers is None
+            else jnp.asarray(scale_multipliers, jnp.float32))
     extra_inputs, extra_specs = [], []
     if kind == "Normal":
         stds = jnp.sqrt(jnp.asarray(base_variance if proposal is None
                                     else proposal.base_variance_scalar,
-                                    jnp.float32) / betas)
+                                    jnp.float32) * mult / betas)
     elif kind == "UniformRadius":
-        stds = jnp.asarray(proposal.base_radius, jnp.float32) / jnp.sqrt(betas)
+        stds = (jnp.asarray(proposal.base_radius, jnp.float32)
+                * jnp.sqrt(mult) / jnp.sqrt(betas))
     else:  # Laplace: (T, d, 1) per-rung scale tensor
         stds = jnp.ones_like(betas)
         lap = jnp.sqrt(
             jnp.asarray(proposal.base_variance_vector, jnp.float32)[None, :]
-            / betas[:, None] / 2.0).reshape(T, dim, 1)
+            * mult[:, None] / betas[:, None] / 2.0).reshape(T, dim, 1)
         extra_inputs = [lap]
         extra_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)]
 

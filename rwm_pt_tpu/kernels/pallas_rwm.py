@@ -50,7 +50,7 @@ def _uniform(shape):
     return top24.astype(jnp.float32) * (1.0 / (1 << 24))
 
 
-def _normal(shape):
+def _normal_bm(shape):
     """Standard normals via Box-Muller, using BOTH outputs (cos and sin of the
     same angle are independent N(0,1)) to halve the log/trig cost — the kernel
     is VPU-transcendental-bound."""
@@ -62,6 +62,75 @@ def _normal(shape):
     theta = _TWO_PI * u2
     z = jnp.concatenate([r * jnp.cos(theta), r * jnp.sin(theta)], axis=0)
     return z[:d]
+
+
+# Giles (2010), "Approximating the erfinv function": the single-precision
+# branchy rational-free polynomial XLA itself uses to lower ErfInv on GPUs.
+# Per normal: 1 log + 1 sqrt + ~18 FMA + 1 select — no divisions, no trig.
+_GILES_P1 = (2.81022636e-08, 3.43273939e-07, -3.5233877e-06,
+             -4.39150654e-06, 0.00021858087, -0.00125372503,
+             -0.00417768164, 0.246640727, 1.50140941)
+_GILES_P2 = (-0.000200214257, 0.000100950558, 0.00134934322,
+             -0.00367342844, 0.00573950773, -0.0076224613,
+             0.00943887047, 1.00167406, 2.83297682)
+
+
+def _erfinv_giles(x):
+    w = -jnp.log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-37))
+    wc = w - 2.5                 # central branch argument (w < 5)
+    wt = jnp.sqrt(w) - 3.0       # tail branch argument
+    pc = jnp.full_like(x, _GILES_P1[0])
+    pt = jnp.full_like(x, _GILES_P2[0])
+    for c1, c2 in zip(_GILES_P1[1:], _GILES_P2[1:]):
+        pc = pc * wc + c1
+        pt = pt * wt + c2
+    return x * jnp.where(w < 5.0, pc, pt)
+
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def _normal_icdf(shape):
+    """Standard normals via the inverse CDF: z = sqrt(2) erfinv(2u - 1),
+    with the Giles single-precision polynomial.  An exact-in-distribution
+    alternative to Box-Muller that trades sin+cos for pure FMA chains —
+    which of the two wins is a property of the VPU transcendental unit and
+    is measured, not assumed (scripts/bench_normal_impl.py)."""
+    u = _uniform(shape)
+    return _SQRT2 * _erfinv_giles(2.0 * u - 1.0 + (1.0 / (1 << 24)))
+
+
+def _normal_laxerfinv(shape):
+    """Inverse CDF via jax.lax.erf_inv — whatever lowering Mosaic picks."""
+    u = _uniform(shape)
+    return _SQRT2 * jax.lax.erf_inv(2.0 * u - 1.0 + (1.0 / (1 << 24)))
+
+
+def _normal_fake_uniform(shape):
+    """NOT a normal: variance-matched uniform (u - 0.5) * sqrt(12).  Only
+    for roofline probing (scripts/bench_normal_impl.py): timing the kernel
+    with this draw isolates the transcendental cost of the real normal —
+    never statistically valid for sampling."""
+    return (_uniform(shape) - 0.5) * float(np.sqrt(12.0))
+
+
+_NORMAL_IMPLS = {
+    "bm": _normal_bm,
+    "icdf": _normal_icdf,
+    "lax_erfinv": _normal_laxerfinv,
+    "fake_uniform": _normal_fake_uniform,
+}
+
+# Module-level selection, read at TRACE time: to switch, set it before the
+# first kernel call of the process (scripts/bench_normal_impl.py runs one
+# subprocess per impl — an already-jitted kernel won't retrace on a global
+# change).  "bm" is the measured-fastest exact draw (docs/PERFORMANCE.md
+# normal-draw roofline table).
+NORMAL_IMPL = "bm"
+
+
+def _normal(shape, impl: str = None):
+    return _NORMAL_IMPLS[impl or NORMAL_IMPL](shape)
 
 
 def _laplace(shape, scale):

@@ -35,7 +35,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 from ..utils.dtypes import default_float
-from .rwm import maybe_report_progress
+from .rwm import maybe_report_progress, progress_run_id
 
 
 @struct.dataclass
@@ -241,7 +241,7 @@ def _swap_dispatch(state: PTState, key, betas, sweep, flat_tc):
 def pt_step(state: PTState, key, target, proposal, betas, burn_in,
             swap_every, cpu_semantics: bool = False,
             symmetric: bool = True, swap_sweep: str = "even_odd",
-            flat_tc=None, betas_mh=None) -> PTState:
+            flat_tc=None, betas_mh=None, betas_proposal_mh=None) -> PTState:
     """One full PT step.
 
     GPU semantics (default): MH move for every rung, then (conditionally) a
@@ -259,6 +259,11 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
     canonical ``(d, T, C)`` layout wastes sublanes whenever T is not a
     multiple of the 8-row tile (T=10 occupies 10/16 rows), costing ~2.4x;
     the flat layout packs rungs into the lane axis like a plain RWM batch.
+
+    ``betas_proposal_mh``: optional, same shape as the effective
+    ``betas_mh`` — rescales only the increment draws (per-rung tuned scale
+    multipliers, ``run_pt(scale_multipliers=...)``); the accept ratio
+    always uses the true betas.
     """
     if swap_sweep == "sequential":
         _swap = _swap_phase_sequential
@@ -287,13 +292,16 @@ def pt_step(state: PTState, key, target, proposal, betas, burn_in,
             lambda s: _mh_phase(_swap_dispatch(s, k_swap, betas, _swap,
                                                flat_tc),
                                 k_mh, target, proposal, betas_mh, burn_in,
-                                rung_mask=last_only, symmetric=symmetric)[0],
+                                rung_mask=last_only, symmetric=symmetric,
+                                betas_proposal=betas_proposal_mh)[0],
             lambda s: _mh_phase(s, k_mh, target, proposal, betas_mh, burn_in,
-                                symmetric=symmetric)[0],
+                                symmetric=symmetric,
+                                betas_proposal=betas_proposal_mh)[0],
             state)
     else:
         state, _ = _mh_phase(state, k_mh, target, proposal, betas_mh, burn_in,
-                             symmetric=symmetric)
+                             symmetric=symmetric,
+                             betas_proposal=betas_proposal_mh)
         should_swap = (step_counter % swap_every == 0) & (step_counter > burn_in)
         state = jax.lax.cond(
             should_swap,
@@ -320,7 +328,8 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
            unroll: int = 2, cpu_semantics: bool = False,
            resume_state=None, symmetric: bool = True,
            progress_every: Optional[int] = None,
-           swap_sweep: str = "even_odd", layout: str = "flat") -> PTResult:
+           swap_sweep: str = "even_odd", layout: str = "flat",
+           scale_multipliers=None) -> PTResult:
     """Run ``burn_in + num_iterations`` PT steps on ``num_chains`` replicas.
 
     ``swap_every`` defaults to 100 like the GPU reference
@@ -340,6 +349,12 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
     draw shapes, and arithmetic are the same up to a row-major reshape.
     The returned :class:`PTResult`/:class:`PTState` is always canonical
     ``(d, T, C)`` — checkpoints are layout-independent.
+
+    ``scale_multipliers``: optional ``(T,)`` per-rung proposal-scale
+    multipliers ``c`` (effective variance ``base * c_t / beta_t``) — the
+    frozen output of a burn-in autotune (kernels/adapt.py) fed back into a
+    plain run; only the increment draws are rescaled, the accept ratio
+    keeps the true betas, so the sampled kernel is exact MH.
     """
     if layout not in ("flat", "tc"):
         raise ValueError("layout must be 'flat' or 'tc'")
@@ -356,9 +371,14 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
     d, _, C = state.x.shape
     flat_tc = None
     betas_mh = None
+    betas_prop = None
+    if scale_multipliers is not None:
+        betas_prop = betas / jnp.asarray(scale_multipliers, betas.dtype)
     if layout == "flat":
         flat_tc = (T, C)
         betas_mh = jnp.repeat(betas, C)                       # (T*C,)
+        if betas_prop is not None:
+            betas_prop = jnp.repeat(betas_prop, C)            # (T*C,)
         state = state.replace(x=state.x.reshape(d, T * C),
                               logp=state.logp.reshape(T * C),
                               accept_count=state.accept_count.reshape(T * C))
@@ -370,8 +390,10 @@ def run_pt(target: Any, proposal: Any, key, betas, *,
         st = pt_step(st, jax.random.fold_in(k_run, st.step), target,
                      proposal, betas, burn_in, swap_every, cpu_semantics,
                      symmetric=symmetric, swap_sweep=swap_sweep,
-                     flat_tc=flat_tc, betas_mh=betas_mh)
-        maybe_report_progress(st.step, end_step, progress_every)
+                     flat_tc=flat_tc, betas_mh=betas_mh,
+                     betas_proposal_mh=betas_prop)
+        maybe_report_progress(st.step, end_step, progress_every,
+                              progress_run_id(k_run))
         return st
 
     def cold_slice(st):

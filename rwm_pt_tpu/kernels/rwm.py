@@ -48,31 +48,51 @@ class RWMResult(NamedTuple):
     chain: Optional[jax.Array]   # (n_rec, d, C_rec) thinned trace or None
 
 
-def _progress_report(step, end):
+# per-run progress state: run_id -> (last_step, last_walltime).  Keyed by a
+# runtime id derived from the run's RNG key so two simulations progressing
+# concurrently in one process (even through the SAME compiled executable)
+# keep independent rate estimates instead of interleaving through shared
+# mutable state.  Bounded: oldest entries evicted beyond 64 live runs.
+_progress_state: dict = {}
+
+
+def _progress_report(run_id, step, end):
     """Host-side liveness line for ``progress_bar=True`` runs — the compiled
     analogue of the reference's samples/s prints every 1000 steps
     (rwm_gpu_optimized.py:459-467).  Invoked via ``jax.debug.callback`` from
     inside the compiled loop; rate is per chain (multiply by the chain/rung
     batch for total MH steps/s)."""
     import time
-    step, end = int(step), int(end)
+    run_id, step, end = int(run_id), int(step), int(end)
     now = time.time()
-    last = getattr(_progress_report, "_last", None)
+    last = _progress_state.get(run_id)
     if last and last[0] < step and last[1] < now:
         rate = (step - last[0]) / (now - last[1])
         print(f"  progress: step {step:,}/{end:,} "
               f"({rate:,.0f} steps/s/chain)", flush=True)
     else:
         print(f"  progress: step {step:,}/{end:,}", flush=True)
-    _progress_report._last = (step, now)
+    while len(_progress_state) >= 64 and run_id not in _progress_state:
+        _progress_state.pop(next(iter(_progress_state)))
+    _progress_state[run_id] = (step, now)
 
 
-def maybe_report_progress(step, end, progress_every):
+def progress_run_id(key):
+    """Runtime (traced) id for one run's progress state: the low 31 bits of
+    the run key's counter words — unique per run with overwhelming
+    probability, and computed on-device so it ships with the callback."""
+    data = jax.random.key_data(key).ravel().astype(jnp.uint32)
+    return (data[-1] ^ data[0] << 7 if data.shape[0] > 1
+            else data[0]) & jnp.uint32(0x7FFFFFFF)
+
+
+def maybe_report_progress(step, end, progress_every, run_id=0):
     """Emit a progress callback when ``step`` hits a ``progress_every``
     multiple (no-op when ``progress_every`` is falsy)."""
     if progress_every:
         jax.lax.cond(step % progress_every == 0,
-                     lambda s: jax.debug.callback(_progress_report, s, end),
+                     lambda s: jax.debug.callback(_progress_report, run_id,
+                                                  s, end),
                      lambda s: None, step)
 
 
@@ -186,7 +206,8 @@ def run_rwm(target: Any, proposal: Any, key, *,
         # fresh randomness instead of replaying the first segment's stream
         st = rwm_step(st, jax.random.fold_in(k_run, st.step), target,
                       proposal, beta, burn_in, symmetric=symmetric)
-        maybe_report_progress(st.step, end_step, progress_every)
+        maybe_report_progress(st.step, end_step, progress_every,
+                              progress_run_id(k_run))
         return st
 
     chain = None

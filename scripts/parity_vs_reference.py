@@ -92,7 +92,8 @@ def cached_ladder(cache_dir, ref, rate, n_samples, tolerance, max_pn_steps,
     return ladder
 
 
-def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
+def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed,
+                   rng_impl="threefry2x32"):
     import jax
     import jax.numpy as jnp
 
@@ -114,7 +115,7 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
     # SE is spread/sqrt(n_seeds)
     n_avg = ref.get("num_files_averaged", 1)
     acc_std = (ref.get("acceptance_rates_seed_std") or [None] * 999)[::stride]
-    key = jax.random.key(seed)
+    key = jax.random.key(seed, impl=rng_impl)
 
     rows = []
     for i, (sc, ra, re) in enumerate(zip(grid, ref_acc, ref_esjd)):
@@ -142,7 +143,8 @@ def run_rwm_parity(ref, num_iters, num_chains, burn_in, stride, seed):
 def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
                   n_samples_swap_est, tolerance, max_pn_steps,
                   ladder_device=None, partial_out=None, ref_file_name=None,
-                  points=None, fail_tol_factor=3.0, ladder_cache=None):
+                  points=None, fail_tol_factor=3.0, ladder_cache=None,
+                  rng_impl="threefry2x32"):
     import jax
     import jax.numpy as jnp
 
@@ -162,7 +164,7 @@ def run_pt_parity(ref, num_iters, num_chains, burn_in, stride, seed,
     n_avg = ref.get("num_files_averaged", 1)
     acc_std = (ref.get("acceptance_rates_seed_std") or [None] * 999)[::stride]
     prop = NormalProposal.create(dim, 2.38 ** 2 / dim)
-    key = jax.random.key(seed)
+    key = jax.random.key(seed, impl=rng_impl)
 
     # ladder probes fetch one scalar per Robbins-Monro step; over the TPU
     # tunnel each fetch (and each operand transfer) costs seconds, so
@@ -259,6 +261,11 @@ def main(argv=None):
                    help="Existing family summary JSON: replace its rows at "
                         "the re-run points (matched by target_rate) and "
                         "recompute the summary stats in place")
+    p.add_argument("--rng", type=str, default="threefry2x32",
+                   choices=["threefry2x32", "rbg"],
+                   help="PRNG implementation for the sampler keys (rbg spot-"
+                        "checks that the faster sweep-CLI default is "
+                        "statistically indistinguishable)")
     p.add_argument("--ladder_device", type=str, default=None,
                    help="Run ladder-construction probes on this JAX platform "
                         "(e.g. 'cpu') while the PT runs stay on the default "
@@ -295,10 +302,12 @@ def main(argv=None):
                              ref_file_name=os.path.basename(args.ref_file),
                              points=points,
                              fail_tol_factor=args.iterative_fail_tol_factor,
-                             ladder_cache=args.ladder_cache)
+                             ladder_cache=args.ladder_cache,
+                             rng_impl=args.rng)
     else:
         rows = run_rwm_parity(ref, args.num_iters, args.num_chains,
-                              args.burn_in, args.stride, args.seed)
+                              args.burn_in, args.stride, args.seed,
+                              rng_impl=args.rng)
 
     import numpy as np
 

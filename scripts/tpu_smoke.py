@@ -3,13 +3,17 @@
 
 Closes the round-1 gap "TPU-gated tests are outside any automated gate": the
 full hardware suite (``RWM_PT_TPU_TESTS=1 pytest tests/test_pallas_kernels.py``)
-takes many minutes of Mosaic compiles, so this script distills it to the three
+takes many minutes of Mosaic compiles, so this script distills it to the
 checks a hardware regression would trip first:
 
 1. one Pallas RWM config statistically matching the scan engine,
 2. one Pallas PT config statistically matching the scan engine
    (swap acceptance + per-rung MH acceptance),
-3. every registry target compiling through Mosaic (``--all-targets``;
+3. exact invariance (Geweke "getting it right") of the Pallas RWM and PT
+   kernels: chains seeded from the exact sampler stay exactly
+   pi-distributed through K steps incl. swaps (tests/test_invariance.py is
+   the CPU/scan analogue),
+4. every registry target compiling through Mosaic (``--all-targets``;
    skipped by default to keep the gate under ~2 min cold).
 
 Prints ONE JSON line ``{"smoke": "ok"|"fail", "checks": {...}}`` and exits
@@ -83,7 +87,55 @@ def run_checks(all_targets: bool = False, verbose: bool = True) -> dict:
     note(f"pt swap_delta={d_swap:.4f} rung_delta={d_rung:.4f} "
          f"({checks['pt']['s']}s)")
 
-    # -- 3. all registry targets lower through Mosaic (opt-in) -------------
+    # -- 3. exact invariance ("getting it right") on the Pallas engine ------
+    # Chains start from the target's EXACT sampler (equilibrium at step 0);
+    # after K kernel steps every per-coordinate mean/second-moment/logpi
+    # statistic must match fresh exact draws to MC error.  The hardware
+    # analogue of tests/test_invariance.py — certifies the accept rule and
+    # swap bookkeeping preserve pi exactly, not just match the scan engine.
+    t0 = time.time()
+    Z_MAX = 5.0
+    tgt = get_target_distribution("MultivariateNormal", 10)
+    Cn = 4096
+
+    def max_z(evolved, fresh):
+        def stats(x):
+            f = jnp.concatenate([x, x * x,
+                                 tgt.log_density_td(x)[None, :]], axis=0)
+            return jnp.mean(f, axis=1), jnp.var(f, axis=1)
+        m1, v1 = stats(evolved)
+        m2, v2 = stats(fresh)
+        return float(jnp.max(jnp.abs(m1 - m2)
+                             / jnp.sqrt((v1 + v2) / Cn + 1e-12)))
+
+    ki = jax.random.fold_in(key, 0x1417)
+    k_a, k_b, k_run = jax.random.split(ki, 3)
+    exact = tgt.direct_sample(k_a, Cn).T
+    pal = run_rwm_pallas(tgt, k_run, base_variance=var, num_chains=Cn,
+                         num_iterations=50, burn_in=0, init_states=exact)
+    z_rwm = max_z(pal.state.x, tgt.direct_sample(k_b, Cn).T)
+    # PT: product measure — every rung stays at its own temperature
+    betas_i = jnp.geomspace(1.0, 0.09, 6).astype(jnp.float32)
+    cube = jnp.stack([tgt.direct_sample(jax.random.fold_in(k_a, t), Cn,
+                                        float(b)).T
+                      for t, b in enumerate(betas_i)], axis=1)
+    palp = run_pt_pallas(tgt, k_run, betas_i, base_variance=var,
+                         num_chains=Cn, num_iterations=60, burn_in=0,
+                         swap_every=5, init_states=cube)
+    z_pt = max(max_z(palp.state.x[:, t, :],
+                     tgt.direct_sample(jax.random.fold_in(k_b, 100 + t),
+                                       Cn, float(b)).T)
+               for t, b in enumerate(betas_i))
+    swapped = float(palp.swap_acceptance_rate.mean()) > 0.02
+    checks["invariance"] = {
+        "z_rwm": round(z_rwm, 2), "z_pt": round(z_pt, 2),
+        "pt_swaps_fired": swapped,
+        "ok": z_rwm < Z_MAX and z_pt < Z_MAX and swapped,
+        "s": round(time.time() - t0, 1)}
+    note(f"invariance z_rwm={z_rwm:.2f} z_pt={z_pt:.2f} "
+         f"({checks['invariance']['s']}s)")
+
+    # -- 4. all registry targets lower through Mosaic (opt-in) -------------
     if all_targets:
         from rwm_pt_tpu.targets.registry import TARGET_NAMES
         t0 = time.time()

@@ -104,11 +104,16 @@ def test_api_autotune_validation():
         MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="PT",
                        target_dist="MultivariateNormal", autotune=True,
                        burn_in=200, cpu_semantics=True)
-    # an explicit pallas request cannot be honored by the scan-based tuner
-    with pytest.raises(ValueError, match="pallas"):
-        MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="RWM",
-                       target_dist="MultivariateNormal", autotune=True,
-                       burn_in=200, engine="pallas")
+    # autotune + engine='pallas' is the two-phase tuned handoff; its
+    # measurement phase needs the TPU backend, so on CPU the run raises
+    # BEFORE spending the tuning burn-in
+    sim_p = MCMCSimulation(dim=2, sigma=1.0, num_iterations=10,
+                           algorithm="RWM",
+                           target_dist="MultivariateNormal", autotune=True,
+                           burn_in=200, engine="pallas")
+    if jax.default_backend() != "tpu":
+        with pytest.raises(ValueError, match="TPU backend"):
+            sim_p.generate_samples(verbose=False)
     sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=50,
                          algorithm="RWM", target_dist="MultivariateNormal",
                          num_chains=2, burn_in=200, autotune=True)
@@ -189,3 +194,79 @@ def test_api_autotune_ladder_validation():
         MCMCSimulation(dim=2, sigma=1.0, num_iterations=10, algorithm="PT",
                        target_dist="MultivariateNormal", autotune_ladder=True,
                        iterative_temp_spacing=True, burn_in=200)
+
+
+# ------------------------------------------------- tuned handoff round-trip
+def test_run_pt_scale_multipliers_identity(key):
+    """c == 1 must be bitwise-identical to no multipliers at all."""
+    from rwm_pt_tpu.kernels import run_pt
+    tgt = MultivariateNormal.create(4)
+    prop = NormalProposal.create(4, 2.38 ** 2 / 4)
+    betas = jnp.asarray([1.0, 0.5, 0.25, 0.1])
+    kw = dict(num_chains=32, num_iterations=500, burn_in=100, swap_every=10)
+    a = run_pt(tgt, prop, key, betas, **kw)
+    b = run_pt(tgt, prop, key, betas, scale_multipliers=jnp.ones(4), **kw)
+    np.testing.assert_array_equal(np.asarray(a.state.x), np.asarray(b.state.x))
+    np.testing.assert_array_equal(np.asarray(a.acceptance_rate),
+                                  np.asarray(b.acceptance_rate))
+
+
+@pytest.mark.parametrize("layout", ["flat", "tc"])
+def test_run_pt_scale_multipliers_move_acceptance(key, layout):
+    """Larger per-rung c -> bolder increments -> lower MH acceptance, rung by
+    rung; the accept ratio must keep the true betas (exact MH)."""
+    from rwm_pt_tpu.kernels import run_pt
+    tgt = MultivariateNormal.create(4)
+    prop = NormalProposal.create(4, 2.38 ** 2 / 4)
+    betas = jnp.asarray([1.0, 0.5, 0.25, 0.1])
+    c = jnp.asarray([9.0, 1.0, 1.0, 9.0])
+    kw = dict(num_chains=128, num_iterations=2000, burn_in=200,
+              swap_every=10, layout=layout)
+    base = run_pt(tgt, prop, key, betas, **kw)
+    tuned = run_pt(tgt, prop, key, betas, scale_multipliers=c, **kw)
+    acc0 = np.asarray(base.acceptance_rate).mean(axis=1)   # (T,)
+    acc1 = np.asarray(tuned.acceptance_rate).mean(axis=1)
+    assert acc1[0] < acc0[0] - 0.05 and acc1[3] < acc0[3] - 0.05
+    assert abs(acc1[1] - acc0[1]) < 0.03 and abs(acc1[2] - acc0[2]) < 0.03
+
+
+def test_tuned_proposal_config_roundtrips_full_vector(key):
+    """An autotuned PT run's tuned_proposal_config() must reproduce the
+    tuned per-rung acceptance in a FRESH simulation (no autotune) — the full
+    vector, not just the cold rung (round-3 verdict item 3)."""
+    betas = [1.0, 0.4, 0.15, 0.05]
+    sim = MCMCSimulation(dim=10, sigma=50.0, num_iterations=3000,
+                         algorithm="PT", target_dist="MultivariateNormal",
+                         num_chains=128, burn_in=3000, autotune=True,
+                         beta_ladder=betas, swap_every=10)
+    sim.generate_samples(verbose=False)
+    cfg = sim.tuned_proposal_config()
+    mult = cfg["params"]["rung_scale_multipliers"]
+    assert len(mult) == 4
+    # every rung's multiplier must have really tuned away the 50x-oversized
+    # base (for MVN the base/beta law is per-rung-correct, so the tuned
+    # vector is near-uniform ~ optimal_var/50 — but each entry is its rung's
+    # own tuned value, carried losslessly)
+    assert all(0.3 < m * 50.0 / OPT_VAR < 3.0 for m in mult)
+    sim2 = MCMCSimulation(dim=10, proposal_config=cfg, num_iterations=3000,
+                          algorithm="PT", target_dist="MultivariateNormal",
+                          num_chains=128, burn_in=500, beta_ladder=betas,
+                          swap_every=10, record_chain=False)
+    sim2.generate_samples(verbose=False)
+    acc = np.asarray(sim2._result.acceptance_rate).mean(axis=1)  # (T,)
+    np.testing.assert_allclose(acc, 0.234, atol=0.06)
+
+
+def test_rung_multipliers_validation():
+    with pytest.raises(ValueError, match="requires a PT algorithm"):
+        MCMCSimulation(dim=2, proposal_config={
+            "name": "Normal", "params": {"base_variance_scalar": 1.0,
+                                         "rung_scale_multipliers": [1, 1]}},
+            num_iterations=10, algorithm="RWM",
+            target_dist="MultivariateNormal")
+    with pytest.raises(ValueError, match="rungs"):
+        MCMCSimulation(dim=2, proposal_config={
+            "name": "Normal", "params": {"base_variance_scalar": 1.0,
+                                         "rung_scale_multipliers": [1, 1]}},
+            num_iterations=10, algorithm="PT",
+            target_dist="MultivariateNormal", beta_ladder=[1.0, 0.5, 0.1])

@@ -334,3 +334,105 @@ def test_pallas_progress_bar_segments(capsys):
     out = capsys.readouterr().out
     assert "progress:" in out
     assert sim._engine_used == "pallas"
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a real TPU")
+def test_pallas_tuned_handoff_matches_scan_tuned(key):
+    """autotune + engine='pallas': the two-phase tuned handoff (scan burn-in
+    tune -> Pallas measurement at the full per-rung multiplier vector) must
+    report engine 'pallas' and match the all-scan autotuned run
+    statistically (round-3 verdict item 3)."""
+    from rwm_pt_tpu.api import MCMCSimulation
+    betas = [1.0, 0.4, 0.15, 0.05]
+    kw = dict(dim=10, sigma=20.0, num_iterations=4000, algorithm="PT",
+              target_dist="MultivariateNormal", num_chains=512,
+              burn_in=3000, autotune=True, beta_ladder=betas, swap_every=20,
+              seed=11)
+    pal = MCMCSimulation(engine="pallas", **kw)
+    pal.generate_samples(verbose=False)
+    assert pal.engine_used == "pallas"
+    scan = MCMCSimulation(engine="scan", **kw)
+    scan.generate_samples(verbose=False)
+    import numpy as np
+    acc_p = np.asarray(pal._result.acceptance_rate).mean(axis=1)
+    acc_s = np.asarray(scan._result.acceptance_rate).mean(axis=1)
+    np.testing.assert_allclose(acc_p, acc_s, atol=0.05)
+    np.testing.assert_allclose(acc_p, 0.234, atol=0.06)
+    assert abs(pal.swap_acceptance_rate() - scan.swap_acceptance_rate()) < 0.05
+
+
+def test_erfinv_giles_accuracy_cpu():
+    """The Giles single-precision erfinv polynomial (the ICDF normal-draw
+    candidate, pallas_rwm._erfinv_giles) must match jax's erf_inv to f32
+    accuracy across the practically reachable range (|x| <= 1 - 2^-24)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rwm_pt_tpu.kernels.pallas_rwm import _erfinv_giles
+    x = jnp.asarray(np.linspace(-1 + 1.2e-7, 1 - 1.2e-7, 200001),
+                    jnp.float32)
+    ours = np.asarray(_erfinv_giles(x))
+    ref = np.asarray(jax.lax.erf_inv(x))
+    # absolute error in z-space: <1e-3 everywhere reachable from 24-bit
+    # uniforms (|z| < 5.6); relative center accuracy ~1e-6
+    err = np.abs(ours - ref)
+    assert err.max() < 1.5e-3, err.max()
+    mid = np.abs(x) < 0.9
+    assert err[mid].max() < 2e-4, err[mid].max()
+
+
+@pytest.mark.skipif(not ON_TPU, reason="hardware PRNG requires a real TPU")
+def test_normal_impl_icdf_distribution():
+    """Exactness gate for any normal-draw impl promoted to default
+    (round-3 verdict item 4): moments + KS vs threefry normals."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rwm_pt_tpu.kernels.pallas_rwm import _NORMAL_IMPLS
+
+    N = 1 << 20
+
+    def draw(impl):
+        def kernel(seed_ref, out_ref):
+            pltpu.prng_seed(seed_ref[0])
+            out_ref[:, :] = _NORMAL_IMPLS[impl]((8, N // 8))
+        return pl.pallas_call(
+            kernel,
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1, grid=(1,),
+                in_specs=[],
+                out_specs=pl.BlockSpec((8, N // 8),
+                                       lambda *_: (0, 0),
+                                       memory_space=pltpu.VMEM)),
+            out_shape=jax.ShapeDtypeStruct((8, N // 8), jnp.float32),
+        )(jnp.asarray([7], jnp.int32)).ravel()
+
+    ref = np.sort(np.asarray(
+        jax.random.normal(jax.random.key(3), (N,), jnp.float32)))
+    q = (np.arange(N) + 0.5) / N
+    from scipy.stats import norm as _norm  # noqa
+    for impl in ("bm", "icdf", "lax_erfinv"):
+        try:
+            z = np.sort(np.asarray(draw(impl)))
+        except Exception as e:  # lax_erfinv may not lower in Mosaic
+            if impl == "lax_erfinv":
+                pytest.skip(f"lax.erf_inv does not lower: {e!r}")
+            raise
+        assert abs(z.mean()) < 5e-3, (impl, z.mean())
+        assert abs(z.std() - 1.0) < 5e-3, (impl, z.std())
+        assert abs(((z ** 3).mean())) < 2e-2, (impl, "skew")
+        assert abs((z ** 4).mean() - 3.0) < 5e-2, (impl, "kurtosis")
+        # one-sample KS vs the exact normal CDF
+        cdf = _norm.cdf(z)
+        ks = np.max(np.abs(cdf - q))
+        # KS_crit(alpha=1e-6) ~ 2.5/sqrt(N) ~ 2.4e-3; allow f32 + 24-bit
+        # quantization slack
+        assert ks < 3.5e-3, (impl, ks)
+        # two-sample agreement with threefry normals in the tails
+        for thr in (2.0, 3.0):
+            p_ours = (z > thr).mean()
+            p_ref = (ref > thr).mean()
+            se = np.sqrt(2 * p_ref * (1 - p_ref) / N) + 1e-9
+            assert abs(p_ours - p_ref) < 6 * se + 2e-5, (impl, thr)

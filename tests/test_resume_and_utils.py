@@ -362,3 +362,46 @@ def test_progress_bar_does_not_perturb_run():
     b.generate_samples(progress_bar=False, verbose=False)
     np.testing.assert_array_equal(np.asarray(a._result.state.x),
                                   np.asarray(b._result.state.x))
+
+
+def test_progress_state_is_per_run():
+    """Two concurrently progressing runs must keep independent rate state
+    (round-3 verdict: the old function-attribute version interleaved)."""
+    from rwm_pt_tpu.kernels.rwm import _progress_report, _progress_state
+    _progress_state.clear()
+    # interleave two runs' callbacks: run A at steps 100, 200; run B jumps
+    # in between with unrelated step numbers
+    _progress_report(1, 100, 1000)
+    _progress_report(2, 7000, 8000)
+    _progress_report(1, 200, 1000)
+    assert _progress_state[1][0] == 200
+    assert _progress_state[2][0] == 7000
+    # eviction keeps the dict bounded
+    for rid in range(3, 200):
+        _progress_report(rid, 1, 10)
+    assert len(_progress_state) <= 64
+
+
+def test_progress_run_id_distinct_per_key():
+    from rwm_pt_tpu.kernels.rwm import progress_run_id
+    ids = {int(progress_run_id(jax.random.key(s))) for s in range(32)}
+    assert len(ids) == 32  # distinct with overwhelming probability
+
+
+def test_benchmark_preserves_completed_run():
+    """benchmark_performance must not discard a completed run's results
+    (round-3 verdict: it silently reset() the simulation)."""
+    sim = MCMCSimulation(dim=2, sigma=1.0, num_iterations=400,
+                         algorithm="RWM", target_dist="MultivariateNormal",
+                         seed=5, burn_in=50, num_chains=8)
+    chain = sim.generate_samples(verbose=False)
+    acc = sim.acceptance_rate()
+    esjd = sim.expected_squared_jump_distance()
+    elapsed = sim.elapsed_time
+    sim.benchmark_performance(num_samples_list=(50, 100))
+    assert sim.acceptance_rate() == acc
+    assert sim.expected_squared_jump_distance() == esjd
+    assert sim.elapsed_time == elapsed
+    assert sim.num_iterations == 400
+    np.testing.assert_array_equal(np.asarray(sim._get_chain()),
+                                  np.asarray(chain))
