@@ -6,7 +6,7 @@ and spends cycles on threefry random bits.  This kernel is the
 "speed-of-light" variant (SURVEY.md §7 phase 9): each grid block loads a
 ``(dim, BLOCK)`` tile of chains into VMEM **once**, runs the entire
 ``burn_in + num_iterations`` step loop on-chip with the TPU hardware PRNG
-(`pltpu.prng_random_bits` + Box-Muller), and writes back only the final state
+(`pltpu.prng_random_bits` + inverse-CDF normals), and writes back only the final state
 and the online accumulators.  HBM traffic is O(state) instead of
 O(state x steps).
 
@@ -124,9 +124,13 @@ _NORMAL_IMPLS = {
 # Module-level selection, read at TRACE time: to switch, set it before the
 # first kernel call of the process (scripts/bench_normal_impl.py runs one
 # subprocess per impl — an already-jitted kernel won't retrace on a global
-# change).  "bm" is the measured-fastest exact draw (docs/PERFORMANCE.md
-# normal-draw roofline table).
-NORMAL_IMPL = "bm"
+# change).  "icdf" is the measured-fastest exact draw: 1.672B vs Box-Muller's
+# 1.328B PT MH steps/s on the headline workload (+26%), with a 3.34B
+# free-draw roofline (docs/PERFORMANCE.md normal-draw table,
+# data/normal_impl_bench.json); distributional exactness gated by
+# tests/test_pallas_kernels.py::test_normal_impl_icdf_distribution and the
+# smoke-gate invariance check.
+NORMAL_IMPL = "icdf"
 
 
 def _normal(shape, impl: str = None):

@@ -393,20 +393,22 @@ def test_normal_impl_icdf_distribution():
     from rwm_pt_tpu.kernels.pallas_rwm import _NORMAL_IMPLS
 
     N = 1 << 20
+    G, ROWS = 16, 8
+    COLS = N // ROWS // G
 
     def draw(impl):
         def kernel(seed_ref, out_ref):
-            pltpu.prng_seed(seed_ref[0])
-            out_ref[:, :] = _NORMAL_IMPLS[impl]((8, N // 8))
+            pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+            out_ref[:, :] = _NORMAL_IMPLS[impl]((ROWS, COLS))
         return pl.pallas_call(
             kernel,
             grid_spec=pltpu.PrefetchScalarGridSpec(
-                num_scalar_prefetch=1, grid=(1,),
+                num_scalar_prefetch=1, grid=(G,),
                 in_specs=[],
-                out_specs=pl.BlockSpec((8, N // 8),
-                                       lambda *_: (0, 0),
+                out_specs=pl.BlockSpec((ROWS, COLS),
+                                       lambda i, *_: (0, i),
                                        memory_space=pltpu.VMEM)),
-            out_shape=jax.ShapeDtypeStruct((8, N // 8), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((ROWS, COLS * G), jnp.float32),
         )(jnp.asarray([7], jnp.int32)).ravel()
 
     ref = np.sort(np.asarray(
