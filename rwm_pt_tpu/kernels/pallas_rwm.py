@@ -89,6 +89,49 @@ def _erfinv_giles(x):
 
 _SQRT2 = float(np.sqrt(2.0))
 
+# Cephes logf minimax polynomial for log(1+f), f in [sqrt(1/2)-1, sqrt(2)-1]
+# (~1 ulp in f32); used by the bit-trick log below.
+_LOGF_P = (7.0376836292e-2, -1.1514610310e-1, 1.1676998740e-1,
+           -1.2420140846e-1, 1.4249322787e-1, -1.6668057665e-1,
+           2.0000714765e-1, -2.4999993993e-1, 3.3333331174e-1)
+_LN2 = 0.6931471805599453
+
+
+def _fast_log(y):
+    """log(y) for finite y > 0 via exponent extraction + mantissa
+    polynomial — pure integer/FMA ops, no transcendental-unit call.
+    Accuracy ~1-2 f32 ulp (Cephes logf scheme): y = m 2^e with
+    m in [sqrt(1/2), sqrt(2)), log y = e ln2 + log m."""
+    bits = pltpu.bitcast(y, jnp.int32)
+    e = ((bits >> 23) & 0xFF) - 127
+    m = pltpu.bitcast((bits & 0x007FFFFF) | 0x3F800000, jnp.float32)
+    big = m > 1.41421356
+    m = jnp.where(big, m * 0.5, m)
+    e = (e + big).astype(jnp.float32)
+    f = m - 1.0
+    p = jnp.full_like(f, _LOGF_P[0])
+    for c in _LOGF_P[1:]:
+        p = p * f + c
+    f2 = f * f
+    return (f2 * f) * p - 0.5 * f2 + f + e * _LN2
+
+
+def _normal_icdf_fastlog(shape):
+    """ICDF normals with the bit-trick log replacing the transcendental
+    log in the Giles erfinv — the draw's last transcendental-unit call
+    besides sqrt.  Same distribution to f32 accuracy."""
+    u = _uniform(shape)
+    x = 2.0 * u - 1.0 + (1.0 / (1 << 24))
+    w = -_fast_log(jnp.maximum((1.0 - x) * (1.0 + x), 1e-37))
+    wc = w - 2.5
+    wt = jnp.sqrt(w) - 3.0
+    pc = jnp.full_like(x, _GILES_P1[0])
+    pt = jnp.full_like(x, _GILES_P2[0])
+    for c1, c2 in zip(_GILES_P1[1:], _GILES_P2[1:]):
+        pc = pc * wc + c1
+        pt = pt * wt + c2
+    return _SQRT2 * x * jnp.where(w < 5.0, pc, pt)
+
 
 def _normal_icdf(shape):
     """Standard normals via the inverse CDF: z = sqrt(2) erfinv(2u - 1),
@@ -117,6 +160,7 @@ def _normal_fake_uniform(shape):
 _NORMAL_IMPLS = {
     "bm": _normal_bm,
     "icdf": _normal_icdf,
+    "icdf_fastlog": _normal_icdf_fastlog,
     "lax_erfinv": _normal_laxerfinv,
     "fake_uniform": _normal_fake_uniform,
 }

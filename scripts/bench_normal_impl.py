@@ -36,7 +36,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-IMPLS = ("bm", "icdf", "lax_erfinv", "fake_uniform")
+# persistent compile cache: the integer-heavy fastlog kernel costs ~450s of
+# Mosaic compile; cache it across child processes / retries
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(REPO, ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+IMPLS = ("bm", "icdf", "icdf_fastlog", "lax_erfinv", "fake_uniform")
 
 
 def child(impl: str, chains: int, iters: int):

@@ -438,3 +438,39 @@ def test_normal_impl_icdf_distribution():
             p_ref = (ref > thr).mean()
             se = np.sqrt(2 * p_ref * (1 - p_ref) / N) + 1e-9
             assert abs(p_ours - p_ref) < 6 * se + 2e-5, (impl, thr)
+
+
+def test_fast_log_accuracy_interpret():
+    """The bit-trick log (pallas_rwm._fast_log) must match jnp.log to a few
+    f32 ulp across the magnitudes the ICDF feeds it (1e-37 .. 1).  Runs the
+    TPU-semantics interpreter so pltpu.bitcast is exercised as compiled."""
+    import numpy as np
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from rwm_pt_tpu.kernels.pallas_rwm import _fast_log
+
+    y = np.concatenate([
+        np.logspace(-37, 0, 4096).astype(np.float32),
+        np.random.default_rng(0).uniform(1e-7, 1.0, 4096).astype(np.float32),
+    ]).reshape(8, 1024)
+
+    def kernel(y_ref, out_ref):
+        out_ref[:, :] = _fast_log(y_ref[:, :])
+
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct(y.shape, jnp.float32),
+        interpret=pltpu.InterpretParams(),
+    )(jnp.asarray(y))
+    ref = np.log(y.astype(np.float64))
+    err = np.abs(np.asarray(out, np.float64) - ref)
+    # f32-ulp-scaled bound: |log y| reaches 85 at the 1e-37 floor, where one
+    # f32 ulp of the result is ~6e-6 — the poly must add nothing beyond
+    # representation error (the ICDF's tail z is ~sqrt(w), so dz ~ dw/2sqrt(w)
+    # stays < 1e-6 everywhere)
+    bound = 1e-6 + 1e-7 * np.abs(ref)
+    assert (err < bound).all(), float((err / bound).max())

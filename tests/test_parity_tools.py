@@ -73,10 +73,13 @@ def test_honest_z_reconstructs_single_run_sd(sp):
     rows = [{"our_acc": 0.51, "ref_acc": 0.50, "acc_se": 0.02 / C ** 0.5,
              "ref_acc_seed_std": 0.001}]
     s = _summary(rows, C=C)
-    zh, collapse = sp.honest_z(s, rows)
-    assert zh == pytest.approx(0.5, rel=1e-6)
+    hz = sp.honest_z(s, rows)
+    assert hz["zh_max"] == pytest.approx(0.5, rel=1e-6)
     # committed std (0.001) < sd_MC (0.02): flagged impossible
-    assert collapse == 1.0
+    assert hz["collapse_frac"] == 1.0
+    assert hz["n_cov"] == 1 and hz["n_live"] == 1
+    # the one point needs MC coverage (committed z = 10 > 2) and passes
+    assert hz["zmc_full"] is True
 
 
 def test_honest_z_floor_kills_epsilon_z(sp):
@@ -85,15 +88,20 @@ def test_honest_z_floor_kills_epsilon_z(sp):
     rows = [{"our_acc": 1.0 - 6e-8, "ref_acc": 1.0, "acc_se": 1e-9,
              "our_acc_realization_std": 9e-9}]
     s = _summary(rows, C=128, R=16)
-    zh, _ = sp.honest_z(s, rows)
-    assert zh is not None and zh < 0.01
+    hz = sp.honest_z(s, rows)
+    assert hz["zh_max"] is not None and hz["zh_max"] < 0.01
 
 
-def test_auto_note_j_requires_all_three_conditions(sp):
-    r = {"max_z": 5.0, "zh_max": 0.7, "collapse_frac": 0.9, "summary": {}}
+def test_auto_note_j_requires_all_conditions(sp):
+    r = {"max_z": 5.0, "zh_max": 0.7, "collapse_frac": 0.9, "zmc_full": True,
+         "collapse_n": 3, "zh_cov": (3, 10), "summary": {}}
     assert "j" in sp.auto_notes(r)
-    for bad in ({"max_z": 1.0}, {"zh_max": 3.0}, {"collapse_frac": 0.1}):
+    for bad in ({"max_z": 1.0}, {"zh_max": 3.0}, {"collapse_frac": 0.1},
+                # ADVICE r3: a 1-2 point sample of the grid cannot grant (j)
+                {"zmc_full": False}, {"collapse_n": 2}):
         assert "j" not in sp.auto_notes({**r, **bad})
+    # full-grid instrumentation lifts the minimum-count requirement
+    assert "j" in sp.auto_notes({**r, "collapse_n": 2, "zh_cov": (2, 2)})
 
 
 def test_auto_notes_methodology_markers(sp):
