@@ -35,20 +35,35 @@ def main():
     ap.add_argument("--num_processes", type=int, required=True)
     ap.add_argument("--process_id", type=int, required=True)
     ap.add_argument("--devices_per_process", type=int, default=2)
+    ap.add_argument("--bench", action="store_true",
+                    help="after the correctness smoke, run a timed "
+                         "chains-sharded PT workload (weak scaling: chains "
+                         "proportional to global devices) and record MH "
+                         "steps/s — the measurement behind the 2-host "
+                         "scaling efficiency recipe "
+                         "(scripts/scaling_proxy.py --real)")
+    ap.add_argument("--bench_iters", type=int, default=2000)
+    ap.add_argument("--bench_chains_per_device", type=int, default=1024)
+    ap.add_argument("--tpu", action="store_true",
+                    help="keep the default (TPU) platform: each process "
+                         "owns its local chips (drop the CPU forcing used "
+                         "by the virtual-device test)")
     ap.add_argument("--output", default=None,
                     help="JSON path written by process 0 only")
     args = ap.parse_args()
 
-    os.environ["JAX_PLATFORMS"] = "cpu"
-    flags = os.environ.get("XLA_FLAGS", "")
-    os.environ["XLA_FLAGS"] = (
-        f"{flags} --xla_force_host_platform_device_count="
-        f"{args.devices_per_process}").strip()
+    if not args.tpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        flags = os.environ.get("XLA_FLAGS", "")
+        os.environ["XLA_FLAGS"] = (
+            f"{flags} --xla_force_host_platform_device_count="
+            f"{args.devices_per_process}").strip()
 
     import jax
 
-    jax.config.update("jax_platforms", "cpu")
-    jax.config.update("jax_cpu_collectives_implementation", "gloo")
+    if not args.tpu:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_cpu_collectives_implementation", "gloo")
 
     import numpy as np
 
@@ -109,6 +124,43 @@ def main():
     for v in (swap_acc, cold_esjd, mh_acc, pt_esjd):
         assert np.isfinite(v), out
     assert 0.0 < mh_acc < 1.0, out
+
+    if args.bench:
+        # weak-scaling throughput: chains proportional to the global device
+        # count, so per-device work is constant and 2-host efficiency =
+        # (2-host steps/s) / (2 x 1-host steps/s) — the BASELINE.md recipe
+        import time
+        Cb = args.bench_chains_per_device * n_global
+        xb_host = np.asarray(
+            jnp.broadcast_to(target.init_sample(key, Cb).T[:, None, :],
+                             (dim, T, Cb)))
+        xb = jax.make_array_from_callback(
+            xb_host.shape, NamedSharding(mesh, P(None, None, "chains")),
+            lambda idx: xb_host[idx])
+
+        def one(k):
+            r = run_pt(target, prop, k, betas, num_chains=Cb,
+                       num_iterations=args.bench_iters, burn_in=0,
+                       swap_every=100, init_states=xb, layout="tc")
+            # a replicated scalar readback synchronizes every process
+            return float(jnp.mean(r.swap_acceptance_rate))
+
+        one(key)                                    # compile + warm
+        times = []
+        for rep in (1, 2, 3):
+            t0 = time.time()
+            one(jax.random.fold_in(key, rep))
+            times.append(time.time() - t0)
+        steps = args.bench_iters * T * Cb
+        out["bench"] = {
+            "mh_steps_per_s": steps / min(times),
+            "rep_times_s": [round(t, 3) for t in times],
+            "chains": Cb, "iters": args.bench_iters,
+            "note": "weak scaling: divide by num_processes x 1-process "
+                    "steps/s for the scaling efficiency"}
+        print(f"[multihost_smoke p{args.process_id}] bench "
+              f"{steps / min(times):,.0f} MH steps/s ({Cb} chains, "
+              f"{len(jax.devices())} devices)", flush=True)
 
     # artifact writes are gated on process 0, like the pod launchers
     if jax.process_index() == 0 and args.output:

@@ -153,10 +153,15 @@ REAL_RECIPE = """\
 #          --num_processes 2 --process_id 0 --bench --output two_host.json
 #      HOST1$ python scripts/multihost_smoke.py --coordinator $HOST0:9876 \\
 #          --num_processes 2 --process_id 1 --bench
-#    (on a TPU pod drop JAX_PLATFORMS=cpu so each process owns its local
-#    chips; chains double with the device count — weak scaling)
+#    (on a TPU pod add --tpu and set --devices_per_process to the local
+#    chip count; chains scale with global devices — weak scaling)
 # 3) efficiency = (two_host steps/s) / (2 * one_host steps/s); the >=80%
 #    BASELINE.md bar passes when efficiency >= 0.80.
+#
+# The recipe itself is rehearsed end-to-end on one host (2 real processes,
+# gloo collectives, the efficiency arithmetic) in
+# data/multihost_bench_rehearsal.json — clearly labeled a machine artifact,
+# not a hardware scaling claim.
 """
 
 
