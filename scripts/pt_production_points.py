@@ -43,17 +43,15 @@ AVG_DIR = os.path.join(REPO, "data", "ref_averaged")
 # hot pair) dominates the delta.
 POINTS = {
     # impact order (worst unexplained z first).  The rate-0.01 (pt0)
-    # points are EXCLUDED here: their production SA ladder build fails the
-    # strict tolerance and grinds through ~30 CPU-minutes per point (both
-    # cache workers measured >16 min without converging), and the outcome
-    # is already characterized — at production precision the 0.01 build
-    # lands in the sparse/degenerate regime (the r2 campaigns excluded
-    # these points as degenerate, e.g. MultivariateNormal_PT_GPU_dim10_
-    # 500000iters row, excl=1) while the standard-precision build's dense
-    # ladder inflates the mean swap rate (footnote (l)); the committed
-    # value there is the frozen-swap-rate accounting artifact (matrix
-    # `excl` text).  See footnote (p).
-    "MultivariateNormal_PT_GPU_dim20_500000iters": [1],
+    # points were initially excluded on cost grounds (their production SA
+    # build fails the strict tolerance and grinds 30-90 CPU-minutes per
+    # point); round 4 builds those ladders too
+    # (scripts/build_rate001_ladders.py), replacing the std build's
+    # dense-ladder artifact values — the production build lands in the
+    # sparse/degenerate regime the committed campaign is in (footnote (p)),
+    # and degenerate T<=2 realizations get excluded by the matrix
+    # (`excl` text).
+    "MultivariateNormal_PT_GPU_dim20_500000iters": [0, 1],
     # d30/500k: ALL flagged points at production precision — the std+acc_se
     # rerun of its mid/high-rate points realized different cheap ladders
     # (e.g. T=14 vs the original T=15 at rate 0.4155, moving the achieved
@@ -61,12 +59,12 @@ POINTS = {
     # this family only the production construction the committed campaign
     # actually used is apples-to-apples.
     "MultivariateNormal_PT_GPU_dim30_500000iters": [1, 3, 2, 8, 6, 7, 9],
-    "ThreeMixture_PT_GPU_dim20_500000iters": [1],
-    "ThreeMixture_PT_GPU_dim10_500000iters": [2, 1],
-    "MultivariateNormal_PT_GPU_dim10_200000iters": [2],
-    "RoughCarpet_PT_GPU_dim10_500000iters": [1],
-    "RoughCarpet_PT_GPU_dim30_500000iters": [1, 2, 3],
-}
+    "RoughCarpet_PT_GPU_dim30_500000iters": [0, 1, 2, 3],
+    "ThreeMixture_PT_GPU_dim20_500000iters": [0, 1],
+    "ThreeMixture_PT_GPU_dim10_500000iters": [0, 2, 1],
+    "MultivariateNormal_PT_GPU_dim10_200000iters": [0, 2],
+    "RoughCarpet_PT_GPU_dim10_500000iters": [0, 1],
+    }
 
 # family -> mid-grid z>2 points re-run at STANDARD precision purely to
 # record the per-replica acc_se, which feeds the honest-z (z_MC) column;
