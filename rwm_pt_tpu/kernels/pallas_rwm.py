@@ -165,20 +165,40 @@ _NORMAL_IMPLS = {
     "fake_uniform": _normal_fake_uniform,
 }
 
-# Module-level selection, read at TRACE time: to switch, set it before the
-# first kernel call of the process (scripts/bench_normal_impl.py runs one
+# Module-level override, read at TRACE time: to force an impl, set it before
+# the first kernel call of the process (scripts/bench_normal_impl.py runs one
 # subprocess per impl — an already-jitted kernel won't retrace on a global
-# change).  "icdf" is the measured-fastest exact draw: 1.672B vs Box-Muller's
-# 1.328B PT MH steps/s on the headline workload (+26%), with a 3.34B
-# free-draw roofline (docs/PERFORMANCE.md normal-draw table,
-# data/normal_impl_bench.json); distributional exactness gated by
-# tests/test_pallas_kernels.py::test_normal_impl_icdf_distribution and the
+# change).  The default "auto" resolves per (kernel, block) from the measured
+# decision matrix (round 5, data/rwm_impl_block.json + data/normal_impl_bench
+# .json, docs/PERFORMANCE.md normal-draw table): the ICDF Giles-polynomial
+# draw is the fastest exact draw wherever its extra VMEM temporaries don't
+# spill the block (PT always — its VMEM cap keeps blocks small — and RWM at
+# block <= 1024: 1.28B MH steps/s at block 512 vs Box-Muller's 1.07B), while
+# Box-Muller wins at the large RWM blocks the ICDF temporaries spill
+# (bm 824M vs icdf 646M at block 8192).  Distributional exactness of both is
+# gated by tests/test_pallas_kernels.py::test_normal_impl_* and the
 # smoke-gate invariance check.
-NORMAL_IMPL = "icdf"
+NORMAL_IMPL = "auto"
+
+
+def resolve_normal_impl(kernel: str, block: int) -> str:
+    """The (kernel, block) -> draw-impl DECISION (measured, not a knob).
+
+    Honors a non-"auto" ``NORMAL_IMPL`` module override; otherwise: PT uses
+    the ICDF draw unconditionally (+26% on the headline bench), RWM uses it
+    up to block 1024 and Box-Muller above (the spill crossover measured in
+    data/rwm_impl_block.json — see scripts/bench_rwm_impl_block.py)."""
+    if NORMAL_IMPL != "auto":
+        return NORMAL_IMPL
+    if kernel == "pt":
+        return "icdf"
+    return "icdf" if block <= 1024 else "bm"
 
 
 def _normal(shape, impl: str = None):
-    return _NORMAL_IMPLS[impl or NORMAL_IMPL](shape)
+    if impl is None or impl == "auto":
+        impl = NORMAL_IMPL if NORMAL_IMPL != "auto" else "icdf"
+    return _NORMAL_IMPLS[impl](shape)
 
 
 def _laplace(shape, scale):
@@ -190,12 +210,12 @@ def _laplace(shape, scale):
     return -scale * jnp.sign(u) * jnp.log1p(clamped)
 
 
-def _uniform_ball(shape, radius):
+def _uniform_ball(shape, radius, impl: str = None):
     """Uniform increments in the ``radius``-ball: Gaussian direction / norm,
     radius ``R * U^(1/d)`` (proposal_distributions/uniform.py:47-73).
     ``U^(1/d)`` is computed as ``exp(log(U)/d)`` — exact incl. U=0 -> 0."""
     d = shape[0]
-    dirs = _normal(shape)
+    dirs = _normal(shape, impl)
     norms = jnp.sqrt(jnp.sum(dirs * dirs, axis=0, keepdims=True))
     dirs = dirs / jnp.maximum(norms, 1e-12)
     u = _uniform((1,) + tuple(shape[1:]))
@@ -237,7 +257,8 @@ def _flatten_params(target):
 
 
 def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
-                 burn_in: int, dim: int, kind: str = "Normal"):
+                 burn_in: int, dim: int, kind: str = "Normal",
+                 normal_impl: str = None):
     def kernel(seed_ref, scale_ref, *refs):
         param_refs = refs[:n_params]
         if kind == "Laplace":
@@ -259,12 +280,12 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
         std = scale_ref[0]    # effective std (Normal) / radius (UniformRadius)
         beta = scale_ref[1]
         if kind == "Normal":
-            draw_inc = lambda shape: _normal(shape) * std
+            draw_inc = lambda shape: _normal(shape, normal_impl) * std
         elif kind == "Laplace":
             lap_scale = pscale_ref[:]                     # (d, 1)
             draw_inc = lambda shape: _laplace(shape, lap_scale)
         else:  # UniformRadius
-            draw_inc = lambda shape: _uniform_ball(shape, std)
+            draw_inc = lambda shape: _uniform_ball(shape, std, normal_impl)
         x0 = x_ref[:]
         lp0 = target.log_density_td(x0)[None, :]          # (1, BLOCK)
         zeros = jnp.zeros_like(lp0)
@@ -302,7 +323,7 @@ def _make_kernel(treedef, shapes, n_params: int, total_steps: int,
 
 def _make_record_kernel(treedef, shapes, n_params: int, seg_steps: int,
                         n_segs: int, rem_steps: int, burn_in: int, dim: int,
-                        kind: str = "Normal"):
+                        kind: str = "Normal", normal_impl: str = None):
     """Recording variant: grid over ``n_segs`` trace segments (single chain
     block).  Chain state and accumulators persist across grid steps in VMEM
     scratch; each segment runs ``seg_steps`` on-chip steps and writes one
@@ -331,12 +352,12 @@ def _make_record_kernel(treedef, shapes, n_params: int, seg_steps: int,
         std = scale_ref[0]
         beta = scale_ref[1]
         if kind == "Normal":
-            draw_inc = lambda shape: _normal(shape) * std
+            draw_inc = lambda shape: _normal(shape, normal_impl) * std
         elif kind == "Laplace":
             lap_scale = pscale_ref[:]
             draw_inc = lambda shape: _laplace(shape, lap_scale)
         else:
-            draw_inc = lambda shape: _uniform_ball(shape, std)
+            draw_inc = lambda shape: _uniform_ball(shape, std, normal_impl)
 
         @pl.when(r == 0)
         def _init():
@@ -399,7 +420,7 @@ def _make_record_kernel(treedef, shapes, n_params: int, seg_steps: int,
                      "record_every", "record_chains", "interpret"))
 def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
                    num_chains: int, num_iterations: int, burn_in: int = 0,
-                   beta: float = 1.0, init_states=None, block: int = 1024,
+                   beta: float = 1.0, init_states=None, block: int = 512,
                    proposal: Any = None, record_every: int = None,
                    record_chains: int = 1, resume_state=None,
                    interpret: bool = False) -> RWMResult:
@@ -434,6 +455,9 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
     if num_chains % block:
         block = int(np.gcd(num_chains, block)) or num_chains
     n_blocks = num_chains // block
+    # draw-impl decision follows the FINAL block (single-block recording runs
+    # can exceed the auto crossover)
+    normal_impl = resolve_normal_impl("rwm", block)
 
     if resume_state is not None:
         x0 = resume_state.x
@@ -505,7 +529,7 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
             raise ValueError("record_every exceeds the total step count")
         kernel = _make_record_kernel(treedef, shapes, len(flat_params),
                                      record_every, n_segs, rem, burn_in, dim,
-                                     kind)
+                                     kind, normal_impl)
         # single chain block: the grid runs over trace segments, so all
         # state/accumulator tiles pin to block 0; only the trace output
         # advances with the segment index
@@ -535,7 +559,7 @@ def run_rwm_pallas(target: Any, key, *, base_variance: float = None,
         chain = rec[:, :, :record_chains]
     else:
         kernel = _make_kernel(treedef, shapes, len(flat_params), total,
-                              burn_in, dim, kind)
+                              burn_in, dim, kind, normal_impl)
         grid_spec = pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,        # seed(+step0), scale
             grid=(n_blocks,),

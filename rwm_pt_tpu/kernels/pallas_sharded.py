@@ -72,7 +72,7 @@ def run_rwm_pallas_sharded(target: Any, key, mesh: Mesh, *,
                            num_chains: int, num_iterations: int,
                            burn_in: int = 0, beta: float = 1.0,
                            base_variance: float = None, proposal: Any = None,
-                           init_states=None, block: int = 1024,
+                           init_states=None, block: int = 512,
                            interpret: bool = False) -> RWMResult:
     """Mesh-sharded :func:`run_rwm_pallas`.  Same metrics contract; the
     per-chain output arrays are global ``(num_chains,)`` with the chain axis
