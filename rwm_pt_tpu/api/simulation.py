@@ -94,7 +94,14 @@ class MCMCSimulation:
         # default below can't diverge from the dispatch predicate
         algo = algorithm if isinstance(algorithm, str) else getattr(
             algorithm, "__name__", str(algorithm))
-        is_pt = "PT" in algo.upper() or "PARALLELTEMPERING" in algo.upper()
+        # the reference dispatches PT by 'ParallelTempering' in the class
+        # name (simulation_gpu.py:83); "PT"-prefixed short aliases are ours.
+        # NOT a bare substring test: "RandomWalkMH_GPU_OPTimized" contains
+        # "pt" and must dispatch to RWM (round-5 fix).
+        _up = algo.upper().replace("-", "_")
+        is_pt = ("PARALLELTEMPERING" in _up or _up == "PT"
+                 or _up.startswith(("PT_", "PTRWM"))
+                 or _up.endswith("_PT"))
 
         if isinstance(target_dist, str):
             tk = dict(target_kwargs or {})

@@ -198,3 +198,23 @@ def test_dim_derived_from_structured_target(key):
     assert sim.dim == 5 + 5 * 3 + 1 + 3 + 2     # J+JK+1+K+2 (funnel_torch.py:134)
     sim.generate_samples(verbose=False)
     assert 0.0 <= sim.acceptance_rate() <= 1.0
+
+
+def test_algorithm_dispatch_reference_class_names(key):
+    """Dispatch-by-classname must match the reference's rule: PT only for
+    'ParallelTempering' names (simulation_gpu.py:83) or explicit PT aliases.
+    Regression: 'RandomWalkMH_GPU_OPTimized' contains the substring 'pt' and
+    round-4's bare substring test silently ran it as an 8-rung PT."""
+    from rwm_pt_tpu.api import MCMCSimulation
+
+    def make(algo):
+        return MCMCSimulation(dim=2, sigma=1.0, num_iterations=10,
+                              algorithm=algo, num_chains=4, burn_in=0,
+                              target_dist="MultivariateNormal", seed=0,
+                              record_chain=False)
+
+    for algo in ("RWM", "RandomWalkMH", "RandomWalkMH_GPU_Optimized"):
+        assert not make(algo).is_pt, algo
+    for algo in ("PT", "PT_RWM", "PTrwm_GPU", "ParallelTemperingRWM",
+                 "ParallelTemperingRWM_GPU_Optimized"):
+        assert make(algo).is_pt, algo
