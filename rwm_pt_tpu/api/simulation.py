@@ -336,15 +336,23 @@ class MCMCSimulation:
     def _use_pallas(self) -> bool:
         if self.engine == "scan":
             return False
-        # meshes are fine as long as only chains are sharded: each device
-        # then runs the full VMEM-resident kernel on its chain slice via
-        # shard_map (kernels/pallas_sharded.py); temperature-sharded meshes
-        # need the scan engine (the Pallas swap sweep is VMEM-local)
-        mesh_ok = self.mesh is None or (
-            "chains" in self.mesh.axis_names
-            and all(self.mesh.shape[a] == 1 for a in self.mesh.axis_names
-                    if a != "chains")
-            and self.num_chains % self.mesh.shape["chains"] == 0)
+        # chains-sharded meshes run the full VMEM-resident kernel per device
+        # via shard_map (kernels/pallas_sharded.py).  For PT, a temps-sharded
+        # mesh uses the hybrid (Pallas MH segments + ppermute swap events,
+        # run_pt_pallas_tempsharded) when T divides the temps axis; RWM has
+        # no temps axis to shard.
+        if self.mesh is None:
+            mesh_ok = True
+        else:
+            shape = dict(self.mesh.shape)
+            n_c = shape.get("chains", 1)
+            n_t = shape.get("temps", 1)
+            mesh_ok = (
+                all(shape[a] == 1 for a in shape
+                    if a not in ("chains", "temps"))
+                and self.num_chains % n_c == 0
+                and (n_t == 1 or (self.is_pt
+                                  and len(self.beta_ladder) % n_t == 0)))
         eligible = (self.proposal_config.get("name") in
                     ("Normal", "Laplace", "UniformRadius")
                     and mesh_ok
@@ -543,9 +551,16 @@ class MCMCSimulation:
                       "sharded Pallas runs; use engine='scan' for live "
                       "progress)")
             from ..kernels import (run_pt_pallas, run_pt_pallas_sharded,
+                                   run_pt_pallas_tempsharded,
                                    run_rwm_pallas, run_rwm_pallas_sharded)
             if self.mesh is not None and self.is_pt:
-                res = run_pt_pallas_sharded(
+                # temps-sharded meshes take the hybrid (Pallas MH segments +
+                # ppermute swap events); chains-only meshes keep the
+                # whole-ladder per-device kernel
+                pt_sharded = (run_pt_pallas_tempsharded
+                              if self.mesh.shape.get("temps", 1) > 1
+                              else run_pt_pallas_sharded)
+                res = pt_sharded(
                     self.target_dist, self.key,
                     jnp.asarray(self.beta_ladder, default_float()), self.mesh,
                     proposal=self.proposal_dist, num_chains=self.num_chains,

@@ -134,3 +134,223 @@ def run_pt_pallas_sharded(target: Any, key, betas, mesh: Mesh, *,
     f = jax.shard_map(local_run, mesh=mesh, in_specs=in_specs,
                       out_specs=_PT_SPECS, check_vma=False)
     return f(*args)
+
+
+# --------------------------------------------------------------------------
+# Temperature-sharded hybrid: Pallas VMEM segments + ppermute swap events
+# --------------------------------------------------------------------------
+
+def _tempsharded_swap_event(st: PTState, key_pairs, betas_loc, t_id,
+                            n_t: int, T: int, burn_in):
+    """One distributed swap event on a temps-sharded ladder.
+
+    Each device owns ``T_loc`` adjacent rungs.  The event runs the scan
+    engine's two half-sweeps (even pairs then odd pairs — kernels/pt.py
+    ``_swap_phase``); boundary pairs straddling a device edge exchange their
+    (x, logp, beta) rows with ``lax.ppermute`` and both sides derive the
+    SAME accept uniform from a key folded with the *global* pair index, so
+    the decision is consistent without an extra round-trip.  Accounting
+    rule: a pair is counted by the owner of its lower rung (each pair
+    counted exactly once across the mesh); global per-chain totals are
+    ``psum``-merged by the caller.  Swap rule certified:
+    pt_rwm_gpu_optimized.py:36-48; post-burn-in gate :569-571.
+    """
+    import jax.numpy as jnp
+
+    x, lp = st.x, st.logp                       # (d, T_loc, C), (T_loc, C)
+    d, T_loc, C = x.shape
+    post = st.step > burn_in
+    fwd = [(i, i + 1) for i in range(n_t - 1)]  # dst k receives prev k-1
+    bwd = [(i + 1, i) for i in range(n_t - 1)]  # dst k receives next k+1
+    r_idx = jnp.arange(T_loc + 1)
+    g = t_id * T_loc - 1 + r_idx                # global pair index per pair r
+    valid = (g >= 0) & (g <= T - 2)
+    own = valid & (r_idx >= 1)                  # lower rung owned locally
+    pair_keys = jax.vmap(
+        lambda gi: jax.random.fold_in(key_pairs, gi))(jnp.maximum(g, 0))
+
+    acc_cnt = jnp.zeros(C, jnp.int32)
+    bsq = jnp.zeros(C, lp.dtype)
+    cold_before = x[:, 0, :]
+    for parity in (0, 1):                       # even pairs, then odd pairs
+        # fresh boundary rows each half-sweep (the first half may have
+        # changed the neighbour's edge state)
+        x_dn = jax.lax.ppermute(x[:, -1, :], "temps", fwd)   # prev's last row
+        lp_dn = jax.lax.ppermute(lp[-1], "temps", fwd)
+        b_dn = jax.lax.ppermute(betas_loc[-1], "temps", fwd)
+        x_up = jax.lax.ppermute(x[:, 0, :], "temps", bwd)    # next's first row
+        lp_up = jax.lax.ppermute(lp[0], "temps", bwd)
+        b_up = jax.lax.ppermute(betas_loc[0], "temps", bwd)
+
+        x_ext = jnp.concatenate([x_dn[:, None], x, x_up[:, None]], axis=1)
+        lp_ext = jnp.concatenate([lp_dn[None], lp, lp_up[None]], axis=0)
+        b_ext = jnp.concatenate([b_dn[None], betas_loc, b_up[None]])
+
+        dlp = lp_ext[1:] - lp_ext[:-1]                  # (T_loc+1, C)
+        dbeta = b_ext[:-1] - b_ext[1:]                  # (T_loc+1,)
+        log_swap = dbeta[:, None] * dlp                 # (:36-48)
+        u = jax.vmap(lambda kk: jax.random.uniform(kk, (C,)))(pair_keys)
+        enabled = valid & (g % 2 == parity)
+        a = ((u < jnp.exp(log_swap))                    # NaN-safe: -> reject
+             & enabled[:, None] & post)
+
+        pad = jnp.zeros((1, C), bool)
+        swap_up = jnp.concatenate([a, pad], axis=0)     # row r takes r+1's
+        swap_dn = jnp.concatenate([pad, a], axis=0)     # row r+1 takes r's
+        x_sw = jnp.where(swap_up[None], jnp.roll(x_ext, -1, axis=1),
+                         jnp.where(swap_dn[None], jnp.roll(x_ext, 1, axis=1),
+                                   x_ext))
+        lp_sw = jnp.where(swap_up, jnp.roll(lp_ext, -1, axis=0),
+                          jnp.where(swap_dn, jnp.roll(lp_ext, 1, axis=0),
+                                    lp_ext))
+        x = x_sw[:, 1:T_loc + 1]
+        lp = lp_sw[1:T_loc + 1]
+        a_own = a & own[:, None]
+        acc_cnt = acc_cnt + jnp.sum(a_own, axis=0, dtype=jnp.int32)
+        bsq = bsq + jnp.sum(a_own * (dbeta ** 2)[:, None], axis=0)
+
+    cold_jump = jnp.where(post & (t_id == 0),
+                          jnp.sum(jnp.square(x[:, 0, :] - cold_before),
+                                  axis=0), 0.0)
+    return st.replace(
+        x=x, logp=lp,
+        swap_accept_count=st.swap_accept_count + acc_cnt,
+        sum_beta_sq_jump=st.sum_beta_sq_jump + bsq,
+        sum_sq_jump_cold=st.sum_sq_jump_cold + cold_jump)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "num_chains", "num_iterations", "burn_in",
+                     "swap_every", "block", "interpret"))
+def run_pt_pallas_tempsharded(target: Any, key, betas, mesh: Mesh, *,
+                              num_chains: int, num_iterations: int,
+                              burn_in: int = 0, swap_every: int = 100,
+                              base_variance: float = None, proposal: Any = None,
+                              init_states=None, block: int = 2048,
+                              interpret: bool = False) -> PTResult:
+    """Temperature-sharded Pallas PT: the round-4 VERDICT's "hybrid" path.
+
+    The whole-ladder Pallas kernel cannot span chips, and the scan engine
+    (the previous only option for temps-sharded meshes) runs 3-5x below
+    Pallas.  This hybrid gets Pallas speed on a temps-sharded mesh by
+    exploiting that swaps only happen every ``swap_every`` steps
+    (pt_rwm_gpu_optimized.py:569-571): each device advances its local rungs
+    through one VMEM-resident Pallas segment of ``swap_every`` MH steps (no
+    swaps inside — statistically identical stream), then one distributed
+    swap event exchanges only the boundary (x, logp, beta) rows via
+    ``lax.ppermute`` (O(d*C) bytes per device edge per event, amortized over
+    ``swap_every`` steps of compute).
+
+    Mesh: requires a ``temps`` axis with T divisible by its size; an
+    optional ``chains`` axis shards replicas as usual.  Metrics contract
+    matches :func:`run_pt` / :func:`run_pt_pallas`.
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    if "temps" not in mesh.axis_names:
+        raise ValueError(f"mesh {mesh.axis_names} has no 'temps' axis")
+    n_t = mesh.shape["temps"]
+    n_c = mesh.shape.get("chains", 1)
+    has_chains = "chains" in mesh.axis_names
+    T = int(betas.shape[0]) if hasattr(betas, "shape") else len(betas)
+    if T % n_t:
+        raise ValueError(f"T={T} not divisible by {n_t} temp shards")
+    T_loc = T // n_t
+    if num_chains % n_c:
+        raise ValueError(f"num_chains={num_chains} not divisible by "
+                         f"{n_c} chain shards")
+    C_loc = num_chains // n_c
+    betas = jnp.asarray(betas, jnp.float32)
+    dim = target.dim
+
+    total = burn_in + num_iterations
+    n_segs = total // swap_every
+    rem = total - n_segs * swap_every
+
+    if init_states is None:
+        x0 = target.init_sample(jax.random.fold_in(key, 0xC0), num_chains).T
+        x0 = jnp.broadcast_to(x0[:, None, :], (dim, T, num_chains))
+    else:
+        x0 = jnp.asarray(init_states)
+
+    chain_spec = "chains" if has_chains else None
+    in_specs = (P(), P("temps"), P(None, "temps", chain_spec))
+    out_specs = jax.tree_util.tree_map(
+        lambda s: s, _PT_SPECS._replace(
+            state=_PT_SPECS.state.replace(x=P(None, "temps", chain_spec),
+                                          logp=P("temps", chain_spec),
+                                          accept_count=P("temps", chain_spec),
+                                          swap_accept_count=P(chain_spec),
+                                          sum_beta_sq_jump=P(chain_spec),
+                                          sum_sq_jump_cold=P(chain_spec)),
+            swap_acceptance_rate=P(chain_spec), pt_esjd=P(chain_spec),
+            cold_esjd=P(chain_spec), acceptance_rate=P("temps", chain_spec)))
+
+    def local_run(k, betas_loc, x0_loc):
+        t_id = jax.lax.axis_index("temps")
+        c_id = jax.lax.axis_index("chains") if has_chains else 0
+        k_seg = jax.random.fold_in(jax.random.fold_in(
+            jax.random.fold_in(k, 0x7E59), t_id), c_id)
+        # swap keys: shared across the temps axis (boundary pairs must agree)
+        k_swap = jax.random.fold_in(jax.random.fold_in(k, 0x5357), c_id)
+
+        lp0 = target.log_density_td(x0_loc)                  # (T_loc, C_loc)
+        st = PTState(
+            x=x0_loc.astype(jnp.float32), logp=lp0,
+            accept_count=jnp.zeros((T_loc, C_loc), jnp.int32),
+            swap_attempt_count=jnp.zeros((), jnp.int32),
+            swap_accept_count=jnp.zeros(C_loc, jnp.int32),
+            sum_beta_sq_jump=jnp.zeros(C_loc, jnp.float32),
+            sum_sq_jump_cold=jnp.zeros(C_loc, jnp.float32),
+            step=jnp.zeros((), jnp.int32))
+
+        def mh_segment(s, seg_key, steps):
+            res = run_pt_pallas(
+                target, seg_key, betas_loc, base_variance=base_variance,
+                num_chains=C_loc, num_iterations=steps, burn_in=burn_in,
+                swap_every=total + 1, proposal=proposal, block=block,
+                resume_state=s, interpret=interpret)
+            # run_pt_pallas recomputes swap_attempt_count analytically (and
+            # with swap_every > total it sees zero events); restore ours
+            return res.state.replace(swap_attempt_count=s.swap_attempt_count)
+
+        def seg(s, i):
+            s = mh_segment(s, jax.random.fold_in(k_seg, i), swap_every)
+            s = _tempsharded_swap_event(
+                s, jax.random.fold_in(k_swap, i), betas_loc, t_id, n_t, T,
+                burn_in)
+            return s, None
+
+        if n_segs:
+            st, _ = jax.lax.scan(seg, st, jnp.arange(n_segs))
+        if rem:
+            st = mh_segment(st, jax.random.fold_in(k_seg, n_segs), rem)
+
+        # merge per-replica partials over the temps axis: swap accounting is
+        # owner-of-lower-rung exclusive; the cold-chain sum lives on the
+        # device owning rung 0 (its kernel-side accumulator is that rung's)
+        swapacc = jax.lax.psum(st.swap_accept_count, "temps")
+        bsq = jax.lax.psum(st.sum_beta_sq_jump, "temps")
+        cold = jax.lax.psum(
+            jnp.where(t_id == 0, st.sum_sq_jump_cold, 0.0), "temps")
+        n_events = (jnp.asarray(total // swap_every, jnp.int32)
+                    - burn_in // swap_every)
+        attempts = jnp.maximum(n_events * (T - 1), 1)
+        n = jnp.maximum(total - burn_in, 1).astype(jnp.float32)
+        state = st.replace(
+            swap_attempt_count=attempts.astype(jnp.int32),
+            swap_accept_count=swapacc, sum_beta_sq_jump=bsq,
+            sum_sq_jump_cold=cold)
+        return PTResult(
+            state=state,
+            swap_acceptance_rate=swapacc / attempts,
+            pt_esjd=bsq / attempts,
+            cold_esjd=cold / n,
+            acceptance_rate=st.accept_count / n,
+            chain=None)
+
+    f = jax.shard_map(local_run, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    return f(key, betas, x0)

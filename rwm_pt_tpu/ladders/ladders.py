@@ -41,14 +41,21 @@ def construct_geometric_ladder(beta_0: float = 1.0, beta_min: float = 1e-2,
 @partial(jax.jit, static_argnames=("n_samples",))
 def _estimate_swap_prob(target, key, beta_curr, beta_star, n_samples: int):
     """a_hat = E[min(1, exp((beta_curr - beta_star)(logpi(x*) - logpi(x))))]
-    with x* tempered at beta_star and x at beta_curr (reference :356-368)."""
-    k_star, k_curr = jax.random.split(key)
-    samples_star = target.direct_sample(k_star, n_samples, beta_star)
-    samples_curr = target.direct_sample(k_curr, n_samples, beta_curr)
-    lp_star = target.log_density(samples_star)
-    lp_curr = target.log_density(samples_curr)
-    log_r = (beta_curr - beta_star) * (lp_star - lp_curr)
-    return jnp.mean(jnp.exp(jnp.minimum(log_r, 0.0)))
+    with x* tempered at beta_star and x at beta_curr (reference :356-368).
+
+    Pinned to true-f32 matmul precision: on TPU the default bf16 MXU
+    passes make quadratic-form log-densities a step function of beta*
+    (measured ~0.009 jumps at knife-edge beta* for MVN d=20), which the
+    production tolerance 1e-4 can then never satisfy — the SA build would
+    stop with a spuriously short ladder."""
+    with jax.default_matmul_precision("float32"):
+        k_star, k_curr = jax.random.split(key)
+        samples_star = target.direct_sample(k_star, n_samples, beta_star)
+        samples_curr = target.direct_sample(k_curr, n_samples, beta_curr)
+        lp_star = target.log_density(samples_star)
+        lp_curr = target.log_density(samples_curr)
+        log_r = (beta_curr - beta_star) * (lp_star - lp_curr)
+        return jnp.mean(jnp.exp(jnp.minimum(log_r, 0.0)))
 
 
 def construct_iterative_ladder(target, *,
@@ -136,3 +143,150 @@ def construct_iterative_ladder(target, *,
     if ladder[-1] > beta_min + 1e-5:
         ladder.append(beta_min)
     return ladder
+
+
+@partial(jax.jit, static_argnames=("n_samples", "max_pn_steps", "max_T",
+                                   "matmul_precision"))
+def _device_ladder(target, key, rate, beta_min, n_samples: int,
+                   tolerance, initial_pn, max_pn_steps: int,
+                   fail_tol_factor, max_T: int,
+                   matmul_precision: str = "float32"):
+    """Whole SA ladder build as ONE compiled program (no host syncs).
+
+    Same recurrence, stop rules and rescue path as
+    :func:`construct_iterative_ladder` (reference pt_rwm_gpu_optimized.py:
+    283-426), with the probe counter feeding ``fold_in`` streams.  Returns
+    ``(betas (max_T,), T)``; unused slots hold ``beta_min``.
+    """
+    f = default_float()
+    rate = jnp.asarray(rate, f)
+    beta_min = jnp.asarray(beta_min, f)
+    tolerance = jnp.asarray(tolerance, f)
+
+    def probe(ctr, beta_curr, beta_star):
+        # true-f32 matmul precision by default: see _estimate_swap_prob
+        # (bf16 MXU passes break the tol=1e-4 production builds).  The
+        # ensemble instrument passes "bfloat16" deliberately, to sample the
+        # construction realizations of a quantized-matmul estimator — the
+        # analogue of the reference campaign's TF32 torch builds
+        # (rwm_gpu_optimized.py:148-151 enables TF32)
+        with jax.default_matmul_precision(matmul_precision):
+            k = jax.random.fold_in(key, ctr)
+            k_star, k_curr = jax.random.split(k)
+            xs = target.direct_sample(k_star, n_samples, beta_star)
+            xc = target.direct_sample(k_curr, n_samples, beta_curr)
+            log_r = (beta_curr - beta_star) * (target.log_density(xs)
+                                               - target.log_density(xc))
+            return jnp.mean(jnp.exp(jnp.minimum(log_r, 0.0)))
+
+    def build_rung(beta_curr, ctr):
+        """Inner pn-adjustment loop for one rung (reference :332-382)."""
+        # state: pn, n_updates, adj_iter, found, stop, last_bstar, last_ahat, ctr
+        init = (jnp.asarray(initial_pn, f), jnp.asarray(1, jnp.int32),
+                jnp.asarray(0, jnp.int32), jnp.asarray(False),
+                jnp.asarray(False), jnp.asarray(-1.0, f),
+                jnp.asarray(-1.0, f), ctr)
+
+        def cond(s):
+            pn, nu, it, found, stop, bs, ah, c = s
+            return (~found) & (~stop) & (it < max_pn_steps)
+
+        def body(s):
+            pn, nu, it, found, stop, _, _, c = s
+            clamped = jnp.clip(pn, -10.0, 10.0)
+            beta_star = beta_curr / (1.0 + jnp.exp(clamped))
+            below = beta_star < beta_min
+
+            def do_probe():
+                a = probe(c + 1, beta_curr, beta_star)
+                hit = jnp.abs(a - rate) <= tolerance
+                pn_new = pn + (nu.astype(f) ** -0.25) * (a - rate)
+                return (jnp.where(hit, pn, pn_new), nu + 1, it + 1, hit,
+                        jnp.asarray(False), beta_star, a, c + 1)
+
+            def stop_below():
+                # reference :104: break before probing, rescue impossible
+                return (pn, nu, it, jnp.asarray(False), jnp.asarray(True),
+                        beta_star, jnp.asarray(-1.0, f), c)
+
+            return jax.lax.cond(below, stop_below, do_probe)
+
+        pn, nu, it, found, stop, bstar, ahat, c = jax.lax.while_loop(
+            cond, body, init)
+        exhausted = (~found) & (~stop) & (it >= max_pn_steps)
+        # convergence-failure rescue (reference :385-407): only after a full
+        # exhausted loop, candidate above beta_min, within the widened tol
+        rescue = (exhausted & (bstar >= beta_min)
+                  & (jnp.abs(ahat - rate) <= tolerance * fail_tol_factor))
+        ok = found | rescue
+        return ok, bstar, c
+
+    def outer_cond(s):
+        betas, t, beta_curr, ctr, done = s
+        return (~done) & (beta_curr > beta_min + 1e-6) & (t < max_T - 1)
+
+    def outer_body(s):
+        betas, t, beta_curr, ctr, done = s
+        ok, bstar, ctr = build_rung(beta_curr, ctr)
+        betas = jnp.where(ok, betas.at[t].set(bstar), betas)
+        return (betas, jnp.where(ok, t + 1, t),
+                jnp.where(ok, bstar, beta_curr), ctr, ~ok)
+
+    betas0 = jnp.full((max_T,), beta_min, f).at[0].set(1.0)
+    betas, t, beta_curr, ctr, _ = jax.lax.while_loop(
+        outer_cond, outer_body,
+        (betas0, jnp.asarray(1, jnp.int32), jnp.asarray(1.0, f),
+         jnp.asarray(0, jnp.int32), jnp.asarray(False)))
+    # finalize (reference :411-422): append beta_min if meaningfully above
+    append = betas[t - 1] > beta_min + 1e-5
+    betas = jnp.where(append, betas.at[t].set(beta_min), betas)
+    t = jnp.where(append, t + 1, t)
+    return betas, t
+
+
+def construct_iterative_ladder_device(target, *,
+                                      target_swap_acceptance_rate: float = 0.234,
+                                      beta_min: float = 0.01,
+                                      N_samples_swap_est: int = 3000,
+                                      tolerance: float = 0.005,
+                                      initial_pn: float = 0.5,
+                                      max_pn_adjustment_steps: int = 100,
+                                      convergence_failure_tolerance_factor:
+                                      float = 3.0,
+                                      seed: int = 0,
+                                      max_T: int = 24,
+                                      matmul_precision: str = "float32",
+                                      ) -> List[float]:
+    """Fully-on-device iterative ladder construction.
+
+    Semantics of :func:`construct_iterative_ladder` (the reference SA build,
+    pt_rwm_gpu_optimized.py:283-426), but the whole data-dependent search
+    compiles to one XLA program — no per-probe host round-trip.  On the
+    tunneled TPU dev chip a production-precision build (N=1e6, tol=1e-4,
+    max_pn=1000) drops from ~30-90 CPU-min (host loop, cached by
+    scripts/build_ladder_cache.py) to seconds-to-minutes of pure device
+    time, which is what makes N>=16 construction-realization ensembles
+    tractable (scripts/pt_ladder_ensemble.py).
+
+    The probe stream (``fold_in(key, probe_counter)`` then a star/curr
+    split) matches :func:`construct_iterative_ladder` exactly, so for the
+    same seed the device build makes the same probe decisions and lands the
+    same ladder up to f32 rounding of the scalar rho recurrence (the host
+    runs it in float64; verified in tests/test_adaptive.py).  Distinct
+    seeds give the independent construction realizations the ensemble
+    samples.
+    """
+    try:
+        target.direct_sample(jax.random.key(0), 1)
+    except NotImplementedError as e:
+        raise NotImplementedError(
+            "The target distribution must implement 'direct_sample(key, n, "
+            "beta)' for iterative temperature ladder construction.") from e
+    betas, t = _device_ladder(
+        target, jax.random.key(seed),
+        target_swap_acceptance_rate, beta_min, N_samples_swap_est,
+        tolerance, initial_pn, max_pn_adjustment_steps,
+        convergence_failure_tolerance_factor, max_T,
+        matmul_precision=matmul_precision)
+    t = int(t)
+    return [float(b) for b in jax.device_get(betas)[:t]]

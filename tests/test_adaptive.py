@@ -270,3 +270,25 @@ def test_rung_multipliers_validation():
                                          "rung_scale_multipliers": [1, 1]}},
             num_iterations=10, algorithm="PT",
             target_dist="MultivariateNormal", beta_ladder=[1.0, 0.5, 0.1])
+
+
+def test_device_ladder_builder_matches_host_bitwise():
+    """construct_iterative_ladder_device compiles the whole SA search into
+    one XLA program with the SAME probe stream (fold_in per probe counter +
+    star/curr split) as the host builder — same seed must make the same
+    probe decisions and land the same ladder (up to f32 rounding of the
+    scalar rho recurrence, which the host runs in float64).  This is what
+    makes production-precision construction-realization ensembles tractable
+    (scripts/pt_ladder_ensemble.py)."""
+    from rwm_pt_tpu.ladders import construct_iterative_ladder
+    from rwm_pt_tpu.ladders.ladders import construct_iterative_ladder_device
+    from rwm_pt_tpu.targets import get_target_distribution
+
+    tgt = get_target_distribution("MultivariateNormal", 5, variant="pt_gpu")
+    kw = dict(target_swap_acceptance_rate=0.3, N_samples_swap_est=2000,
+              tolerance=0.01, max_pn_adjustment_steps=50,
+              convergence_failure_tolerance_factor=3.0, seed=4)
+    host = construct_iterative_ladder(tgt, **kw)
+    dev = construct_iterative_ladder_device(tgt, **kw)
+    assert len(host) == len(dev)
+    np.testing.assert_allclose(host, dev, rtol=1e-5)

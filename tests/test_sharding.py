@@ -209,3 +209,62 @@ class TestShardedPallasEngine:
             run_rwm_pallas_sharded(tgt, key, mesh, base_variance=0.5,
                                    num_chains=100, num_iterations=2,
                                    interpret=True)
+
+
+class TestTempShardedHybrid:
+    """run_pt_pallas_tempsharded (kernels/pallas_sharded.py): Pallas MH
+    segments + ppermute swap events over a temps-sharded mesh.  The swap
+    decisions are keyed on the GLOBAL pair index, so with the MH phase
+    frozen (near-zero proposal variance, O(1) states) the trajectory must be
+    BITWISE identical across mesh partitionings — a deterministic test of
+    the boundary ppermute exchange, decision consistency, and the
+    owner-of-lower-rung accounting.  Throughput/statistics on hardware:
+    scripts/bench_pt_tempsharded.py (1.66B vs scan 356M MH steps/s)."""
+
+    def _run(self, key, mesh_devs, T=8, C=64):
+        from jax.sharding import Mesh
+        from rwm_pt_tpu.kernels import run_pt_pallas_tempsharded
+        tgt = MultivariateNormal.create(3)
+        betas = jnp.geomspace(1.0, 0.01, T).astype(jnp.float32)
+        x0 = jnp.stack(
+            [tgt.direct_sample(jax.random.fold_in(key, t), C,
+                               float(betas[t])).T for t in range(T)], axis=1)
+        mesh = Mesh(np.array(jax.devices()[:mesh_devs]).reshape(mesh_devs),
+                    ("temps",))
+        return run_pt_pallas_tempsharded(
+            tgt, key, betas, mesh, num_chains=C, num_iterations=400,
+            burn_in=100, swap_every=50, base_variance=1e-30, init_states=x0,
+            interpret=True)
+
+    def test_bitwise_identical_across_mesh_partitionings(self, key):
+        r1 = self._run(key, 1)
+        r4 = self._run(key, 4)
+        assert np.array_equal(np.asarray(r1.state.x), np.asarray(r4.state.x))
+        assert np.array_equal(np.asarray(r1.state.logp),
+                              np.asarray(r4.state.logp))
+        assert np.array_equal(np.asarray(r1.state.swap_accept_count),
+                              np.asarray(r4.state.swap_accept_count))
+        np.testing.assert_allclose(np.asarray(r1.pt_esjd),
+                                   np.asarray(r4.pt_esjd), rtol=1e-6)
+
+    def test_swap_attempt_accounting(self, key):
+        r = self._run(key, 2)
+        # (400+100)/50 = 10 events, 2 pre-burn-in gated out of accepts but
+        # attempts follow the scan engine: events at steps > burn_in -> 8
+        assert int(r.state.swap_attempt_count) == 8 * 7
+        assert r.state.x.shape == (3, 8, 64)
+        assert r.swap_acceptance_rate.shape == (64,)
+
+    def test_chains_and_temps_2d_mesh(self, key):
+        from jax.sharding import Mesh
+        from rwm_pt_tpu.kernels import run_pt_pallas_tempsharded
+        tgt = MultivariateNormal.create(3)
+        T, C = 4, 64
+        betas = jnp.geomspace(1.0, 0.01, T).astype(jnp.float32)
+        mesh = Mesh(np.array(jax.devices()).reshape(2, 4),
+                    ("temps", "chains"))
+        res = run_pt_pallas_tempsharded(
+            tgt, key, betas, mesh, num_chains=C, num_iterations=100,
+            burn_in=0, swap_every=25, base_variance=0.5, interpret=True)
+        assert res.state.x.shape == (3, T, C)
+        assert int(res.state.swap_attempt_count) == 4 * 3
