@@ -94,6 +94,14 @@ def run_checks(all_targets: bool = False, verbose: bool = True) -> dict:
     # analogue of tests/test_invariance.py — certifies the accept rule and
     # swap bookkeeping preserve pi exactly, not just match the scan engine.
     t0 = time.time()
+    # False-alarm arithmetic: the gate takes a max over 21 RWM + 6*21 PT =
+    # 147 z-statistics; under the CLT normal approximation P(|z| > 5) =
+    # 5.7e-7 per statistic => per-run false-alarm ~ 147 * 5.7e-7 ~ 8e-5,
+    # while the expected max of 147 standard normals is ~2.9 (so observed
+    # maxima near 3, e.g. round-4's z_pt = 3.26, are ordinary noise — the
+    # hardware PRNG's fixed seed makes a given build deterministic but the
+    # seed varies per run key).  Power: a persistent per-statistic bias is
+    # flagged once it reaches ~Z_MAX * SE = 5 * std/sqrt(4096) ~ 0.08 std.
     Z_MAX = 5.0
     tgt = get_target_distribution("MultivariateNormal", 10)
     Cn = 4096
@@ -127,12 +135,39 @@ def run_checks(all_targets: bool = False, verbose: bool = True) -> dict:
                                        Cn, float(b)).T)
                for t, b in enumerate(betas_i))
     swapped = float(palp.swap_acceptance_rate.mean()) > 0.02
+    # round-5 breadth: the shard_map-wrapped engines on a 1-device mesh —
+    # real hardware PRNG (full-strength statistics, unlike the CPU
+    # interpreter), exercising the sharded chains path and the
+    # temps-sharded hybrid's segment+swap-event structure end-to-end
+    import numpy as _np
+    from jax.sharding import Mesh as _Mesh
+    from rwm_pt_tpu.kernels import (run_pt_pallas_tempsharded,
+                                    run_rwm_pallas_sharded)
+    mesh_c = _Mesh(_np.array(jax.devices()[:1]).reshape(1), ("chains",))
+    pal_sh = run_rwm_pallas_sharded(tgt, k_run, mesh_c, base_variance=var,
+                                    num_chains=Cn, num_iterations=50,
+                                    burn_in=0, init_states=exact)
+    z_rwm_sh = max_z(pal_sh.state.x, tgt.direct_sample(k_b, Cn).T)
+    mesh_t = _Mesh(_np.array(jax.devices()[:1]).reshape(1), ("temps",))
+    palt = run_pt_pallas_tempsharded(tgt, k_run, betas_i, mesh_t,
+                                     base_variance=var, num_chains=Cn,
+                                     num_iterations=60, burn_in=0,
+                                     swap_every=5, init_states=cube)
+    z_pt_ts = max(max_z(palt.state.x[:, t, :],
+                        tgt.direct_sample(jax.random.fold_in(k_b, 100 + t),
+                                          Cn, float(b)).T)
+                  for t, b in enumerate(betas_i))
+    ts_swapped = float(palt.swap_acceptance_rate.mean()) > 0.02
     checks["invariance"] = {
         "z_rwm": round(z_rwm, 2), "z_pt": round(z_pt, 2),
-        "pt_swaps_fired": swapped,
-        "ok": z_rwm < Z_MAX and z_pt < Z_MAX and swapped,
+        "z_rwm_sharded": round(z_rwm_sh, 2),
+        "z_pt_tempsharded": round(z_pt_ts, 2),
+        "pt_swaps_fired": swapped, "tempsharded_swaps_fired": ts_swapped,
+        "ok": (z_rwm < Z_MAX and z_pt < Z_MAX and swapped
+               and z_rwm_sh < Z_MAX and z_pt_ts < Z_MAX and ts_swapped),
         "s": round(time.time() - t0, 1)}
     note(f"invariance z_rwm={z_rwm:.2f} z_pt={z_pt:.2f} "
+         f"z_rwm_sharded={z_rwm_sh:.2f} z_pt_tempsharded={z_pt_ts:.2f} "
          f"({checks['invariance']['s']}s)")
 
     # -- 4. all registry targets lower through Mosaic (opt-in) -------------

@@ -41,9 +41,18 @@ from rwm_pt_tpu.targets import (EvenRosenbrock, Hypercube, HybridRosenbrock,
 
 C = 4096          # ensemble size: MC standard errors ~ std/64
 K = 40            # kernel steps applied to the exact ensemble
-Z_MAX = 4.5       # per-statistic bound; ~1e3 statistics suite-wide => the
-                  # family-wise false-alarm probability is < 1%, and the
-                  # fixed seeds make every run deterministic
+# Per-statistic bound and its false-alarm arithmetic.  Statistic count:
+# RWM 10 cases x (2d+1) = 92, non-Normal RWM 36, asymmetric 9, PT 4 cases x
+# 4 modes x T rungs x (2d+1) = 684, tuned-multipliers 45, PT non-Normal 90,
+# sharded-mesh 36, autotuned-ladder ~45  =>  ~1.04e3 z-statistics
+# suite-wide.  Under the CLT normal approximation (means of C=4096 draws),
+# P(|z| > 4.5) = 2*(1 - Phi(4.5)) = 6.8e-6 per statistic, so the
+# family-wise false-alarm probability is ~1.04e3 * 6.8e-6 ~ 0.7% < 1% —
+# and the fixed seeds make every run deterministic, so a pass is a pass.
+# Power: a persistent per-statistic bias b is flagged once b exceeds
+# ~Z_MAX * SE = 4.5 * std/64 ~ 0.07 std — e.g. a 1% acceptance-rule bias
+# shifts second moments by O(several) std units and is caught immediately.
+Z_MAX = 4.5
 
 
 def _stats(x, target):
@@ -221,3 +230,78 @@ def test_pt_invariance_tuned_multipliers():
     assert float(res.swap_acceptance_rate.mean()) > 0.02
     _assert_pt_invariant(res.state.x, target, k_b, PT_BETAS,
                          "PT/MVN/tuned-multipliers")
+
+
+# ---------------------------------------------------- round-5 breadth (r4 #5)
+
+@pytest.mark.parametrize("prop_kind", ["Laplace", "UniformRadius"])
+def test_pt_invariance_nonnormal_proposals(prop_kind):
+    """PT with the Laplace / UniformRadius proposals (per-rung beta scaling:
+    variance/beta resp. radius/sqrt(beta), proposal_distributions/laplace.py
+    :29-32, uniform.py:28) must preserve the product measure exactly."""
+    target = MultivariateNormal.create(4)
+    prop = (LaplaceProposal.create(4, 1.4) if prop_kind == "Laplace"
+            else UniformRadiusProposal.create(4, 1.5))
+    betas = jnp.asarray(PT_BETAS)
+    key = jax.random.key(zlib.crc32(f"PT/{prop_kind}".encode()))
+    k_a, k_b, k_run = jax.random.split(key, 3)
+    res = run_pt(target, prop, k_run, betas, num_chains=C, num_iterations=60,
+                 burn_in=0, swap_every=5,
+                 init_states=_pt_exact_cube(target, k_a, PT_BETAS, C))
+    assert float(res.swap_acceptance_rate.mean()) > 0.02
+    assert float(res.acceptance_rate.mean()) > 0.01
+    _assert_pt_invariant(res.state.x, target, k_b, PT_BETAS,
+                         f"PT/MVN/{prop_kind}")
+
+
+def test_pt_invariance_sharded_mesh():
+    """The mesh-sharded scan engine on the virtual 8-device (chains=4,
+    temps=2) mesh — the swap phase crosses the temps shard boundary through
+    XLA CollectivePermute — must preserve the product measure exactly (the
+    PRNG is the same counter-based threefry, so this is a full-strength
+    statistical certification, unlike the Pallas interpreter's)."""
+    import numpy as _np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from rwm_pt_tpu.parallel import make_mesh
+
+    target = MultivariateNormal.create(4)
+    prop = NormalProposal.create(4, 1.4)
+    case_betas = [1.0, 0.55, 0.3, 0.16]           # T=4 splits over temps=2
+    betas = jnp.asarray(case_betas)
+    mesh = make_mesh((4, 2), ("chains", "temps"))
+    key = jax.random.key(zlib.crc32(b"PT/sharded-mesh"))
+    k_a, k_b, k_run = jax.random.split(key, 3)
+    x0 = jax.device_put(_pt_exact_cube(target, k_a, case_betas, C),
+                        NamedSharding(mesh, P(None, "temps", "chains")))
+    res = run_pt(target, prop, k_run, betas, num_chains=C, num_iterations=60,
+                 burn_in=0, swap_every=5, init_states=x0, layout="tc")
+    assert float(res.swap_acceptance_rate.mean()) > 0.02
+    _assert_pt_invariant(res.state.x, target, k_b, case_betas,
+                         "PT/MVN/sharded-mesh")
+
+
+def test_pt_invariance_autotuned_ladder():
+    """An autotune_ladder-produced ladder (kernels/adapt.py Robbins-Monro on
+    the running chains) fed into a plain measurement run must be exactly
+    invariant at ITS OWN betas — certifying the adaptive construction hands
+    over a valid frozen ladder, and the measurement kernel preserves the
+    product measure at adapted (non-round) beta values."""
+    from rwm_pt_tpu.kernels import run_pt_ladder_adaptive
+
+    target = MultivariateNormal.create(4)
+    prop = NormalProposal.create(4, 1.4)
+    key = jax.random.key(zlib.crc32(b"PT/autotuned-ladder"))
+    k_tune, k_a, k_b, k_run = jax.random.split(key, 4)
+    tuned = run_pt_ladder_adaptive(
+        target, prop, k_tune, num_rungs=5, num_chains=512,
+        num_iterations=0, burn_in=1500, swap_every=5, adapt_every=50,
+        target_swap_accept=0.4, beta_min=0.09)
+    betas = np.asarray(tuned.tuned_betas, dtype=np.float64)
+    assert betas[0] == 1.0 and np.all(np.diff(betas) < 0), betas
+    case_betas = [float(b) for b in betas]
+    res = run_pt(target, prop, k_run, jnp.asarray(case_betas), num_chains=C,
+                 num_iterations=60, burn_in=0, swap_every=5,
+                 init_states=_pt_exact_cube(target, k_a, case_betas, C))
+    assert float(res.swap_acceptance_rate.mean()) > 0.02
+    _assert_pt_invariant(res.state.x, target, k_b, case_betas,
+                         "PT/MVN/autotuned-ladder")
