@@ -17,7 +17,7 @@ fused across *steps*, which the reference explicitly could not do
 one chain in time, but the whole loop can still live on-chip).
 
 Works for any target whose ``log_density_td`` uses only elementwise ops and
-axis-0 reductions (all 13 library targets).  All three reference proposals are
+axis-0 reductions (all 14 registry targets).  All three reference proposals are
 supported — Normal, Laplace and UniformRadius (the reference's TorchScript
 sampler kernels, proposal_distributions/{normal,laplace,uniform}.py:46-101) —
 drawn on-chip from the hardware PRNG.
