@@ -156,8 +156,12 @@ def stage_stat():
                     continue
                 lad = json.load(open(path))
                 t0 = time.time()
+                # Coarser grids than the referee's (n_z 2^18 vs 2^21,
+                # n_cap 2^20 vs 2^23): measured delta vs the referee grid is
+                # < 4e-7 on the worst case (RoughCarpet d30 T=15), ~1e4x
+                # below the ~3e-3 offsets being resolved, at ~15x the speed.
                 res = ss.ladder_accept(it["target"], it["dim"], lad,
-                                       n_cap=1 << 22)
+                                       n_z=1 << 18, n_cap=1 << 20)
                 members.append(dict(seed=seed, matmul_precision=mprec,
                                     T=len(lad), betas=lad,
                                     stat=res["mean"]))

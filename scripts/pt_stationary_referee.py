@@ -61,6 +61,9 @@ FAMILIES = {
     "RoughCarpet_PT_GPU_dim20_200000iters": ("RoughCarpet", 20),
     "ThreeMixture_PT_GPU_dim20_500000iters": ("ThreeMixture", 20),
     "MultivariateNormal_PT_GPU_dim20_500000iters": ("MultivariateNormal", 20),
+    # round-2 probe family: whole grid ran at the production ladder flags
+    # (its rows predate the per-point ladder_precision tags)
+    "RoughCarpet_PT_GPU_dim20_500000iters_production": ("RoughCarpet", 20),
 }
 
 
@@ -107,9 +110,17 @@ def referee_family(family, refine_worst=True):
     points = []
     for i, row in enumerate(data["rows"]):
         rate = row["target_rate"]
+        if row["T"] <= 2:
+            # degenerate ladder ([1, beta_min]): the recorded values are the
+            # `excl` accounting artifact, not kernel estimates — not refereed
+            print(f"  [{family} pt{i}] degenerate ladder (T={row['T']}) "
+                  f"— SKIP")
+            continue
         prec = STD
         lp = row.get("ladder_precision")
         if lp and lp.get("N_samples_swap_est") == PROD["n_samples"]:
+            prec = PROD
+        if family.endswith("_production"):
             prec = PROD
         try:
             ladder, key, cached = load_or_build_ladder(target, dim, rate, i,

@@ -50,10 +50,13 @@ FLAGGED = [
 def next_sa_rung(target, dim, beta_prev, rate, lo_floor=1e-4):
     """beta+ < beta_prev with exact stationary pair acceptance == rate
     (bisection; a(beta_prev, b) is monotone increasing in b)."""
+    # Grids as in pt_ladder_ensemble.py stage_stat: measured delta vs the
+    # referee's full grids < 4e-7 on the worst case, ~15x faster.
     lo, hi = lo_floor, beta_prev * 0.999
     for _ in range(40):
         mid = 0.5 * (lo + hi)
-        a = ss.pair_accept(target, dim, beta_prev, mid, n_cap=1 << 21)
+        a = ss.pair_accept(target, dim, beta_prev, mid,
+                           n_z=1 << 18, n_cap=1 << 20)
         if a < rate:
             lo = mid
         else:
@@ -83,23 +86,36 @@ def main():
             # T+1: idealized extra SA rung between the last interior rung
             # and the appended beta_min
             bplus = next_sa_rung(target, dim, lad[-2], rate)
-            lad_plus = lad[:-1] + [bplus, lad[-1]]
-            stat_plus = ss.ladder_accept(target, dim, lad_plus,
-                                         n_cap=1 << 22)["mean"]
+            if bplus > lad[-1] * 1.000001:
+                lad_plus = lad[:-1] + [bplus, lad[-1]]
+                stat_plus = ss.ladder_accept(
+                    target, dim, lad_plus,
+                    n_z=1 << 18, n_cap=1 << 20)["mean"]
+            else:
+                # The next SA rung falls at/below the appended beta_min —
+                # the construction would have stopped (reference
+                # pt_rwm_gpu_optimized.py:385-422 rejects beta* <= beta_min),
+                # so a T+1 outcome is only reachable via a shifted whole
+                # ladder; the ensemble instrument measures that empirically.
+                stat_plus = None
             # T-1: last interior rung removed
             lad_minus = lad[:-2] + [lad[-1]]
             stat_minus = ss.ladder_accept(target, dim, lad_minus,
-                                          n_cap=1 << 22)["mean"]
+                                          n_z=1 << 18, n_cap=1 << 20)["mean"]
             row = dict(family=fam, idx=i, target_rate=rate, T=len(lad),
                        stat=base, stat_plus=stat_plus,
                        stat_minus=stat_minus,
-                       dstat_plus=stat_plus - base,
+                       dstat_plus=(None if stat_plus is None
+                                   else stat_plus - base),
                        dstat_minus=stat_minus - base,
                        ref_minus_stat=p["ref_minus_stat"],
                        elapsed_s=round(time.time() - t0, 1))
             out.append(row)
+            plus_txt = ("T+1 unrealizable (next SA rung < beta_min)"
+                        if stat_plus is None else
+                        f"T+1={stat_plus:.5f} ({row['dstat_plus']:+.5f})")
             print(f"{fam} pt{i}: stat(T={len(lad)})={base:.5f} "
-                  f"T+1={stat_plus:.5f} ({row['dstat_plus']:+.5f}) "
+                  f"{plus_txt} "
                   f"T-1={stat_minus:.5f} ({row['dstat_minus']:+.5f}) "
                   f"vs ref-stat={p['ref_minus_stat']:+.5f} "
                   f"[{row['elapsed_s']}s]", flush=True)
