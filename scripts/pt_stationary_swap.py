@@ -241,16 +241,19 @@ def ladder_accept(target: str, dim: int, betas, refine: bool = False,
                   **kw) -> dict:
     """Per-pair and mean stationary swap acceptance for a whole ladder.
 
-    With refine=True every pair is recomputed at half resolution (2x N_CAP,
-    2x N_Z) and the worst per-pair |delta| is reported as `grid_err`."""
+    With refine=True every pair is recomputed at half resolution (2x the
+    working n_cap/n_z, whether defaulted or caller-supplied) and the worst
+    per-pair |delta| is reported as `grid_err`."""
     betas = [float(b) for b in betas]
     pairs = [pair_accept(target, dim, a, b, **kw)
              for a, b in zip(betas[:-1], betas[1:])]
     out = {"target": target, "dim": dim, "betas": betas,
            "per_pair": pairs, "mean": float(np.mean(pairs))}
     if refine:
-        fine = [pair_accept(target, dim, a, b, n_z=2 * N_Z, n_cap=2 * N_CAP,
-                            **kw)
+        kw_fine = dict(kw)
+        kw_fine["n_z"] = 2 * kw.get("n_z", N_Z)
+        kw_fine["n_cap"] = 2 * kw.get("n_cap", N_CAP)
+        fine = [pair_accept(target, dim, a, b, **kw_fine)
                 for a, b in zip(betas[:-1], betas[1:])]
         out["grid_err"] = float(np.max(np.abs(np.array(fine)
                                               - np.array(pairs))))

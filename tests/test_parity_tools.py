@@ -229,3 +229,71 @@ def test_footnote_legend_defines_referee_markers(sp):
     assert ref and all(p["verdict"] in (
         "ours=stationary", "ref=stationary", "both-transient")
         for pts in ref.values() for p in pts)
+
+
+# ---- exact stationary swap-acceptance machinery (footnote (q)) ----------
+# scripts/pt_stationary_swap.py computes the expected recorded swap rate of
+# a PT ladder in stationarity (reference swap rule
+# pt_rwm_gpu_optimized.py:36-48) by exact 1-d quadrature + FFT convolution.
+# These tests pin it against its two independent validators.
+
+
+@pytest.fixture(scope="module")
+def ss():
+    return _load("pt_stationary_swap")
+
+
+def test_mvn_pair_accept_matches_analytic_quadrature(ss):
+    # FFT-convolution path vs the independent scipy gammainc quadrature
+    for dim, ba, bb in ((20, 1.0, 0.6), (10, 0.3, 0.2), (4, 0.05, 0.02)):
+        fft = ss.pair_accept("MultivariateNormal", dim, ba, bb,
+                             n_cap=1 << 16)
+        quad = ss.mvn_pair_accept_quad(dim, ba, bb, n=100000)
+        assert abs(fft - quad) < 1e-6, (dim, ba, bb, fft, quad)
+
+
+@pytest.mark.parametrize("target", ["RoughCarpet", "ThreeMixture"])
+def test_mixture_pair_accept_matches_monte_carlo(ss, target):
+    # FFT path vs a direct MC estimate of the same stationary expectation
+    fft = ss.pair_accept(target, 6, 0.8, 0.55, n_z=1 << 15, n_cap=1 << 16)
+    mc, se = ss.mc_pair_accept(target, 6, 0.8, 0.55, n=400_000)
+    assert abs(fft - mc) < 4 * se + 1e-4, (target, fft, mc, se)
+
+
+def test_pair_accept_limits_and_monotonicity(ss):
+    # adjacent rungs: closer betas swap more; equal-beta limit -> 1
+    near = ss.pair_accept("MultivariateNormal", 10, 1.0, 0.95, n_cap=1 << 16)
+    far = ss.pair_accept("MultivariateNormal", 10, 1.0, 0.3, n_cap=1 << 16)
+    assert 0.0 < far < near <= 1.0
+    almost = ss.pair_accept("MultivariateNormal", 10, 1.0, 0.999,
+                            n_cap=1 << 16)
+    assert almost > 0.97
+    # the swap rule needs beta_a > beta_b
+    with pytest.raises(AssertionError):
+        ss.pair_accept("MultivariateNormal", 10, 0.5, 0.5)
+
+
+def test_ladder_accept_mean_and_refinement(ss):
+    lad = [1.0, 0.55, 0.3, 0.16, 0.01]
+    res = ss.ladder_accept("MultivariateNormal", 8, lad, refine=True,
+                           n_cap=1 << 16)
+    assert len(res["per_pair"]) == len(lad) - 1
+    import numpy as _np
+    assert abs(res["mean"] - _np.mean(res["per_pair"])) < 1e-12
+    # half-grid refinement agrees (the committed referee's grid_err gate)
+    assert res["grid_err"] < 1e-5
+
+
+def test_pt_referee_grants_q_to_flagged_families(sp):
+    # the committed referee data file backs marker (q): every refereed
+    # family has >=4 live points, all with |ours - stat| <= 2e-3
+    assert len(sp.PT_REFEREE) >= 8
+    assert all(sp.PT_REFEREE.values())
+    for fam in ("RoughCarpet_PT_GPU_dim30_500000iters",
+                "ThreeMixture_PT_GPU_dim20_500000iters",
+                "MultivariateNormal_PT_GPU_dim20_500000iters",
+                "RoughCarpet_PT_GPU_dim20_500000iters_production"):
+        assert sp.PT_REFEREE.get(fam), fam
+    assert "q" in sp.auto_notes(
+        {"family": "RoughCarpet_PT_GPU_dim30_500000iters", "summary": {}})
+    assert "(q)" in sp.FOOTNOTES
