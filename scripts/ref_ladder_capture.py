@@ -27,8 +27,8 @@ sys.path.insert(0, "/root/reference")
 OUT = os.path.join(REPO, "data", "ref_fresh_ladders.json")
 
 POINTS = [  # (rate, seeds) — matches data/ref_fresh_seeds.json fresh_seed_pt
-    (0.4155172414, [101]),
-    (0.314137931, [101]),
+    (0.4155172414, [101, 102]),
+    (0.314137931, [101, 102]),
 ]
 
 
