@@ -34,3 +34,18 @@ import pytest  # noqa: E402
 @pytest.fixture
 def key():
     return jax.random.key(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables between test modules.
+
+    The full suite compiles thousands of XLA:CPU programs across 8 virtual
+    devices in one process; letting them accumulate has produced
+    deterministic segfaults inside LLVM during a *trivial* late-suite
+    compile (jnp.mean in test_targets.py — crashes at the same test when
+    run after the full prefix, passes in isolation).  Dropping the jit
+    cache per module keeps peak JIT-code memory bounded; cross-module
+    recompiles are cheap relative to suite runtime."""
+    yield
+    jax.clear_caches()
